@@ -1,0 +1,249 @@
+"""Arrow-batch kernels: the optimized, broadcastable model + batch scorer.
+
+This is the Spark-side counterpart of the pure oracle
+(``refmodel.quality.decide_turn``).  The oracle is deliberately naive
+(re-tokenizes per language); this kernel computes the SAME values with:
+
+* one generic tokenize per text (the filter/split pipeline is language-
+  independent -- only the whole-word alphabet gate differs per language,
+  Language.scala:85-90),
+* a per-token memo of (accepting languages, per-language vocab scores) --
+  token vocabularies repeat heavily across a corpus, so amortized per-token
+  cost approaches a dict hit,
+* a per-char memo for the four WhitespaceIgnored languages,
+* ``math.fsum`` accumulation (exact, order-independent) so results are
+  bit-identical to the oracle regardless of batch/partition layout.
+
+Differential tests (tests/test_spark_pipeline.py) assert kernel == oracle on
+every fixture turn.  The kernel object is pickled once into a Spark broadcast
+and deserialized once per executor (module-level cache in udfs.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from ..refmodel.alphabets import (
+    ALPHABET, DEAD_LANGUAGES, LANGUAGES, PER_CHAR_LANGUAGES,
+)
+from ..refmodel.classifier import WINNER_THRESHOLD, Vocabulary
+from ..refmodel.quality import (
+    MAX_PPL, MAX_REP, MAX_SYMBOL_RATIO, MIN_CHARS, MIN_LANG_CONF,
+    MIN_REP_TOKENS, SCRUB_RULES, TrigramModel,
+)
+from ..refmodel.tokenizer import (
+    _is_java_letter, _is_java_whitespace, _java_strip, _JAVA_SPLIT,
+)
+
+# word-wise languages that can ever accept a token (dead languages accept
+# nothing -- skipping them is exact: their score is identically 0.0)
+_WORD_LANGS: list[str] = [
+    l for l in LANGUAGES if l not in PER_CHAR_LANGUAGES and l not in DEAD_LANGUAGES
+]
+_PC_LANGS: list[str] = [l for l in LANGUAGES if l in PER_CHAR_LANGUAGES]
+
+
+class FilterModel:
+    """Frozen, picklable quality-filter model (vocab + trigram tables)."""
+
+    def __init__(self, vocab: dict[str, dict[str, float]],
+                 tri_logprob: dict[str, dict[str, float]],
+                 tri_backoff: dict[str, float]) -> None:
+        self.vocab = vocab              # lang -> word -> score
+        self.tri_logprob = tri_logprob  # lang -> trigram -> logp
+        self.tri_backoff = tri_backoff  # lang -> unseen logp
+        self._token_memo: dict[str, list[tuple[str, float, bool]]] = {}
+        self._char_memo: dict[str, list[tuple[str, str, float, bool]]] = {}
+        self._scrub = [(n, re.compile(p)) for n, p in SCRUB_RULES]
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_corpus(cls, rows: list[tuple[str, str]]) -> "FilterModel":
+        """Build from (language, text) labeled rows: axiom vocabulary
+        (op-6/14, Language.scala:45-48,322-323) + trigram tables."""
+        v = Vocabulary()
+        for lang, text in rows:
+            v.load_labeled(lang, text)
+        return cls.from_vocabulary(v, TrigramModel.train(rows))
+
+    @classmethod
+    def from_vocabulary(cls, v: Vocabulary, tm: TrigramModel) -> "FilterModel":
+        vocab = {
+            lang: {w: s for w, (s, _ax) in v.entries[lang].items()}
+            for lang in LANGUAGES
+        }
+        return cls(vocab, tm.logprob, tm.backoff)
+
+    def __getstate__(self):  # memos are per-process caches -- do not ship them
+        return (self.vocab, self.tri_logprob, self.tri_backoff)
+
+    def __setstate__(self, state):
+        self.__init__(*state)
+
+    # -- per-token memoized classification -----------------------------------
+
+    def _token_entry(self, tok: str) -> list[tuple[str, float, bool]]:
+        """[(lang, vocab_score, in_vocab)] for every word-wise language whose
+        alphabet accepts *tok* (the whole-word gate, Language.scala:90)."""
+        e = self._token_memo.get(tok)
+        if e is None:
+            e = []
+            for lang in _WORD_LANGS:
+                alpha = ALPHABET[lang]
+                ok = True
+                for c in tok:
+                    if c not in alpha:
+                        ok = False
+                        break
+                if ok:
+                    vs = self.vocab[lang].get(tok)
+                    e.append((lang, vs if vs is not None else 0.0, vs is not None))
+            if len(self._token_memo) > 2_000_000:
+                self._token_memo.clear()
+            self._token_memo[tok] = e
+        return e
+
+    def _char_entry(self, c: str) -> list[tuple[str, str, float, bool]]:
+        """[(lang, lowered_token, vocab_score, in_vocab)] for the per-char
+        languages accepting original-case char *c* (Language.scala:407-413)."""
+        e = self._char_memo.get(c)
+        if e is None:
+            e = []
+            if _is_java_letter(c):
+                low = c.lower()
+                for lang in _PC_LANGS:
+                    if c in ALPHABET[lang]:
+                        vs = self.vocab[lang].get(low)
+                        e.append((lang, low, vs if vs is not None else 0.0,
+                                  vs is not None))
+            if len(self._char_memo) > 1_000_000:
+                self._char_memo.clear()
+            self._char_memo[c] = e
+        return e
+
+    def classify_text(self, text: str) -> tuple[str | None, float]:
+        """Frozen-vocab winner -- bit-identical to
+        ``Vocabulary.winner_frozen`` (differentially tested)."""
+        terms: dict[str, list[float]] = {}
+        gated: set[str] = set()
+
+        # word-wise languages: one generic tokenize, then per-token memo
+        lowered = _java_strip(text).lower()
+        filtered = "".join(
+            ch for ch in lowered
+            if _is_java_letter(ch) or _is_java_whitespace(ch) or ch == "'"
+        )
+        for tok in _JAVA_SPLIT.split(filtered):
+            if not tok:
+                continue
+            for lang, score, in_vocab in self._token_entry(tok):
+                terms.setdefault(lang, []).append(score)
+                if in_vocab:
+                    gated.add(lang)
+
+        # per-char languages: single char scan
+        for ch in text:
+            for lang, _low, score, in_vocab in self._char_entry(ch):
+                terms.setdefault(lang, []).append(score)
+                if in_vocab:
+                    gated.add(lang)
+
+        best_lang: str | None = None
+        best_score = float("-inf")
+        for lang in LANGUAGES:  # declaration order; tie-break name asc
+            score = math.fsum(terms[lang]) if lang in gated else 0.0
+            if score > best_score or (
+                score == best_score and best_lang is not None and lang < best_lang
+            ):
+                best_lang, best_score = lang, score
+        if best_score > WINNER_THRESHOLD:
+            return best_lang, best_score
+        return None, best_score
+
+    # -- quality features -----------------------------------------------------
+
+    def perplexity(self, text: str, lang: str | None) -> float:
+        if lang is None:
+            return 0.0
+        table = self.tri_logprob.get(lang)
+        if table is None:
+            return 0.0
+        norm = TrigramModel._norm(text)
+        if len(norm) < 3:
+            return 0.0
+        bo = self.tri_backoff[lang]
+        get = table.get
+        ts = [get(norm[i:i + 3], bo) for i in range(len(norm) - 2)]
+        return -math.fsum(ts) / len(ts)
+
+    def scrub(self, text: str) -> str:
+        for name, pat in self._scrub:
+            text = pat.sub(f"<{name.upper()}>", text)
+        return text
+
+    # -- full per-text decision (mirrors refmodel.quality.decide_turn) -------
+
+    def decide(self, text: str):
+        scrubbed = self.scrub(text)
+        stripped = text.strip()
+        lang, conf = self.classify_text(text)
+        ppl = self.perplexity(text, lang)
+
+        tokens = text.lower().split()
+        n_tokens = len(tokens)
+        if n_tokens:
+            freq: dict[str, int] = {}
+            for t in tokens:
+                freq[t] = freq.get(t, 0) + 1
+            rep = max(freq.values()) / n_tokens
+        else:
+            rep = 0.0
+
+        drop: str | None = None
+        if len(stripped) < MIN_CHARS:
+            drop = "too_short"
+        else:
+            n = len(stripped)
+            bad = sum(
+                1 for c in stripped
+                if not _is_java_letter(c) and not _is_java_whitespace(c)
+            )
+            if bad / n > MAX_SYMBOL_RATIO:
+                drop = "symbol_ratio"
+            elif n_tokens >= MIN_REP_TOKENS and rep > MAX_REP:
+                drop = "repetition"
+            elif lang is None:
+                drop = "no_lang"
+            elif conf < MIN_LANG_CONF:
+                drop = "low_lang_conf"
+            elif ppl > MAX_PPL:
+                drop = "high_ppl"
+
+        return (
+            lang,
+            conf if lang is not None else 0.0,
+            ppl,
+            drop is None,
+            drop,
+            scrubbed,
+        )
+
+    def decide_batch(self, texts) -> "pd.DataFrame":
+        """Batch API for the pandas UDF: Series[str] in, DataFrame out."""
+        import pandas as pd
+
+        cols = {"lang": [], "lang_conf": [], "ppl": [], "keep": [],
+                "drop_reason": [], "scrubbed_text": []}
+        for text in texts:
+            lang, conf, ppl, keep, drop, scrubbed = self.decide(
+                text if isinstance(text, str) else ""
+            )
+            cols["lang"].append(lang)
+            cols["lang_conf"].append(conf)
+            cols["ppl"].append(ppl)
+            cols["keep"].append(keep)
+            cols["drop_reason"].append(drop)
+            cols["scrubbed_text"].append(scrubbed)
+        return pd.DataFrame(cols)
