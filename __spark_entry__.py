@@ -1,38 +1,84 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose the operator registry
+(languagedetection_spark/entry_queries.py) for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full quality-filter pipeline (langid -> perplexity ->
+    heuristics -> scrub) over sf0.001 documents viewed as transcript turns.
+
+    Model artifacts are built from the deterministic 24-language fixture
+    corpus (seed=42) and broadcast; the scoring stage is map-only.
+    """
+    from pyspark.sql import functions as F
+
+    from languagedetection_spark.fixtures.generate import gen_labeled_corpus
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import quality_filter
+    from languagedetection_spark.plans.packaging import ship_package
+
+    from languagedetection_spark.refmodel.alphabets import ISO_TO_LANGUAGE
+
+    ship_package(spark.sparkContext)
+    sf_dir = "/root/testdata/sf0.001"
+    # model corpus: the 24-language fixture corpus (seed=42) PLUS the sf
+    # documents' own labeled subset (source='src0'), so the flagship detects
+    # languages in both domains
+    corpus = [(lang, text) for text, lang, _iso in gen_labeled_corpus()]
+    labeled = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("source = 'src0'")
+        .select("lang", "text")
+        .collect()
+    )
+    corpus += [
+        (ISO_TO_LANGUAGE[r["lang"]], r["text"])
+        for r in labeled
+        if r["lang"] in ISO_TO_LANGUAGE
+    ]
+    model = FilterModel.from_corpus(corpus)
+    bc = broadcast_model(spark, model)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    return quality_filter(transcripts, bc).select(
+        "conv_id", "turn_idx", "lang", "lang_conf", "ppl", "keep",
+        "drop_reason", "scrubbed_text",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data ops).  Each callable takes (spark, sf_dir)."""
+    from languagedetection_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted entries are non-SQL-
+    expressible ops checked rows-only by the driver)."""
+    from languagedetection_spark.entry_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,765 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL
+per operator (SURVEY.md §2 coverage).
+
+Conventions (driver compare is row-count + schema + order-insensitive
+value-hash):
+* every computed column is aliased identically on both sides;
+* double aggregates are rounded (2-6 dp) on both sides to absorb summation-
+  order ulps;
+* timestamps are emitted as formatted strings (Spark session TZ is UTC,
+  DuckDB is UTC-naive);
+* ranks/row_numbers are BIGINT on both sides.
+
+Reference-parity queries cite the reference operator (file:line) they
+re-express.  The relational classify path (ops 2,6,7,8,10,11 of SURVEY §2)
+is exact on the sf documents domain (ASCII [a-z ] text); full multilingual
+fidelity incl. per-char CJK is exercised by tests/test_spark_pipeline.py on
+the 24-language fixtures instead, because DuckDB cannot host the per-char
+tokenizer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .refmodel.alphabets import ALPHABET, DEAD_LANGUAGES, ISO_TO_LANGUAGE
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _char_class(language: str) -> str:
+    """Regex char class for the language's alphabet (compressed to ranges)."""
+    cps = sorted(ord(c) for c in ALPHABET[language])
+    if not cps:
+        return ""
+    parts: list[str] = []
+    lo = prev = cps[0]
+    for c in cps[1:] + [None]:
+        if c is not None and c == prev + 1:
+            prev = c
+            continue
+        def esc(cp: int) -> str:
+            ch = chr(cp)
+            return "\\" + ch if ch in "\\]^-" else ch
+        if prev == lo:
+            parts.append(esc(lo))
+        elif prev == lo + 1:
+            parts.append(esc(lo) + esc(prev))
+        else:
+            parts.append(esc(lo) + "-" + esc(prev))
+        if c is not None:
+            lo = prev = c
+    return "[" + "".join(parts) + "]"
+
+
+def language_dim_rows() -> list[tuple[str, str, str]]:
+    """(iso, language, token_pattern) for live languages -- the op-2 dim.
+    Dead languages (Blocked bug, Language.scala:395-399) accept nothing and
+    are excluded, exactly as the reference never matches them."""
+    rows = []
+    for iso, lang in sorted(ISO_TO_LANGUAGE.items()):
+        if lang in DEAD_LANGUAGES:
+            continue
+        rows.append((iso, lang, f"^{_char_class(lang)}+$"))
+    return rows
+
+
+def _dim_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        language_dim_rows(), "iso string, language string, token_pattern string"
+    )
+
+
+def _dim_values_sql(alias: str = "dim") -> str:
+    rows = ", ".join(
+        "('{}', '{}', '{}')".format(iso, lang, pat)
+        for iso, lang, pat in language_dim_rows()
+    )
+    return f"(VALUES {rows}) AS {alias}(iso, language, token_pattern)"
+
+
+# shared CTE text for the DuckDB classify pipeline ---------------------------
+
+def _classify_cte() -> str:
+    return f"""
+WITH dim AS (SELECT * FROM {_dim_values_sql()}),
+labeled AS (
+    SELECT m.language, m.token_pattern, d.text
+    FROM documents d JOIN dim m ON d.lang = m.iso
+    WHERE d.source = 'src0'
+),
+vocab AS (
+    SELECT DISTINCT l.language, t.word, 1.0 AS score
+    FROM labeled l,
+         LATERAL (SELECT unnest(string_split(l.text, ' ')) AS word) t
+    WHERE t.word <> '' AND regexp_matches(t.word, l.token_pattern)
+),
+toks AS (
+    SELECT d.doc_id, t.word
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+    WHERE t.word <> ''
+),
+scored AS (
+    SELECT toks.doc_id, v.language, sum(v.score) AS score
+    FROM toks JOIN vocab v ON toks.word = v.word
+    GROUP BY toks.doc_id, v.language
+),
+ranked AS (
+    SELECT doc_id, language, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, language) AS rn
+    FROM scored
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational coverage (scan/filter/agg/join/window/sort/topk)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 8-agg groupBy (SURVEY §2 op-8/18)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)          AS sum_qty,
+       round(sum(l_extendedprice), 2)     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)          AS avg_qty,
+       round(avg(l_extendedprice), 4)     AS avg_price,
+       round(avg(l_discount), 4)          AS avg_disc,
+       count(*)                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg; nation/region are broadcast-side dims."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def order_argmax_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-10 argmax/top-1 (Language.scala:359-361) as row_number over a
+    deterministic (value desc, key asc) order."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_order"),
+            F.round("o_totalprice", 2).alias("best_price"),
+        )
+    )
+
+
+ORDER_ARGMAX_SQL = """
+SELECT o_custkey, o_orderkey AS best_order, round(o_totalprice, 2) AS best_price
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
+def supplier_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-21 cumulative prefix-scan (TestResult.scala:69-103) as a running-sum
+    window with a fully deterministic order."""
+    # the synthetic lineitem has duplicate (orderkey, linenumber) keys, so
+    # ties are pre-aggregated to make the prefix scan deterministic
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("qty").over(w), 2).alias("running_qty"),
+    )
+
+
+SUPPLIER_RUNNING_SQL = """
+WITH agg AS (
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           sum(l_quantity) AS qty
+    FROM lineitem GROUP BY ALL
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(qty) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM agg
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min flag + running sum (stateful analog)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        lag_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        e.withColumn("sess_id", F.sum(new_sess).over(wsum))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts - lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+    FROM flagged
+)
+SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (the batch analog of the streaming pipeline)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hr"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference-operator parity on `documents`
+# ---------------------------------------------------------------------------
+
+
+def lang_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-2 Language.forName (Language.scala:448-474): name-resolution as a
+    broadcast dim join; unknown names drop (inner join), dead languages have
+    no dim row."""
+    d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark).select("iso", "language")
+    return d.join(F.broadcast(dim), d.lang == dim.iso).select(
+        "doc_id", "language"
+    )
+
+
+LANG_RESOLUTION_SQL = f"""
+SELECT d.doc_id, m.language
+FROM documents d JOIN {_dim_values_sql("m")} ON d.lang = m.iso
+"""
+
+
+def tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-3 tokenizer + explode (Language.scala:85-90) + frequency count.
+    On the documents domain ([a-z ] text) the generic filter is the identity,
+    so the split is the whole tokenizer."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+TOKENIZE_EXPLODE_SQL = """
+SELECT t.word, count(*) AS cnt
+FROM documents d,
+     LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+WHERE t.word <> ''
+GROUP BY t.word
+"""
+
+
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ops 6/14 supervised axiom load (Language.scala:45-48,322-323):
+    distinct (language, word) with score 1.0 from the labeled subset
+    (source='src0'), gated by each language's alphabet char-class."""
+    d = _t(spark, sf_dir, "documents").filter("source = 'src0'")
+    dim = _dim_df(spark)
+    toks = (
+        d.join(F.broadcast(dim), d.lang == dim.iso)
+        .select("language", "token_pattern",
+                F.explode(F.split("text", " ")).alias("word"))
+        .filter("word <> ''")
+        .filter(F.expr("word rlike token_pattern"))
+    )
+    return toks.select(
+        "language", "word", F.lit(1.0).alias("score"),
+        F.lit(True).alias("is_axiom"),
+    ).distinct()
+
+
+VOCAB_BUILD_SQL = f"""
+WITH labeled AS (
+    SELECT m.language, m.token_pattern, d.text
+    FROM documents d JOIN {_dim_values_sql("m")} ON d.lang = m.iso
+    WHERE d.source = 'src0'
+)
+SELECT DISTINCT l.language, t.word, 1.0 AS score, TRUE AS is_axiom
+FROM labeled l,
+     LATERAL (SELECT unnest(string_split(l.text, ' ')) AS word) t
+WHERE t.word <> '' AND regexp_matches(t.word, l.token_pattern)
+"""
+
+
+def classify_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ops 7/8/10/11 as a relational composition: explode tokens (with
+    duplicates -- Language.scala:353 counts each occurrence), join the axiom
+    vocab (existence gate is implied: no match, no row), sum scores, argmax
+    with the pinned (score desc, language asc) tie-break, winner threshold
+    > 0.0001 (trivially true for axiom sums)."""
+    vocab = vocab_build(spark, sf_dir).select("language", "word", "score")
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    scored = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "language")
+        .agg(F.sum("score").alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("language"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND score > 0.0001")
+        .select(
+            "doc_id",
+            F.col("language").alias("pred_lang"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+CLASSIFY_SQL = (
+    _classify_cte()
+    + """
+SELECT doc_id, language AS pred_lang, round(score, 4) AS score
+FROM ranked WHERE rn = 1 AND score > 0.0001
+"""
+)
+
+
+def classify_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME classification through the production Arrow-batch kernel
+    (FilterModel over mapInPandas) -- shares the relational oracle SQL, so
+    the driver gate proves kernel == relational == DuckDB."""
+    from .functions.kernels import FilterModel
+    from .refmodel.classifier import Vocabulary
+    from .refmodel.quality import TrigramModel
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = (
+        _t(spark, sf_dir, "documents")
+        .filter("source = 'src0'")
+        .select("lang", "text")
+        .collect()
+    )
+    v = Vocabulary()
+    for r in labeled:
+        lang = ISO_TO_LANGUAGE.get(r["lang"])
+        if lang is not None:
+            v.load_labeled(lang, r["text"])
+    model = FilterModel.from_vocabulary(v, TrigramModel.train([]))
+    bc = spark.sparkContext.broadcast(model)
+
+    def run(batches):
+        import pandas as pd
+
+        m = bc.value
+        for pdf in batches:
+            langs, scores = [], []
+            for text in pdf["text"]:
+                lang, conf = m.classify_text(text if isinstance(text, str) else "")
+                langs.append(lang)
+                scores.append(round(conf, 4) if lang is not None else None)
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pred_lang": langs, "score": scores}
+            )
+            yield out[out["pred_lang"].notna()]
+
+    return d.mapInPandas(run, schema="doc_id long, pred_lang string, score double")
+
+
+def accuracy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-18 (TrainingResult.scala:45-56): correct/incorrect counts and
+    fail-rate; rows without a known truth label (unknown lang name) are
+    dropped upstream (op-1 semantics), no-winner rows count in neither."""
+    preds = classify_relational(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark).select("iso", F.col("language").alias("true_lang"))
+    truth = d.join(F.broadcast(dim), d.lang == dim.iso).select(
+        "doc_id", "true_lang"
+    )
+    joined = truth.join(preds, "doc_id", "left")
+    return joined.agg(
+        F.sum((F.col("pred_lang") == F.col("true_lang")).cast("int")).cast("long").alias("n_correct"),
+        F.sum(
+            (F.col("pred_lang").isNotNull() & (F.col("pred_lang") != F.col("true_lang"))).cast("int")
+        ).cast("long").alias("n_wrong"),
+        F.round(
+            F.sum(((F.col("pred_lang").isNotNull()) & (F.col("pred_lang") != F.col("true_lang"))).cast("int"))
+            / F.sum((F.col("pred_lang").isNotNull()).cast("int")),
+            6,
+        ).alias("fail_rate"),
+    )
+
+
+ACCURACY_SQL = (
+    _classify_cte()
+    + """
+, preds AS (
+    SELECT doc_id, language AS pred_lang
+    FROM ranked WHERE rn = 1 AND score > 0.0001
+),
+truth AS (
+    SELECT d.doc_id, m.language AS true_lang
+    FROM documents d JOIN dim m ON d.lang = m.iso
+)
+SELECT CAST(sum(CASE WHEN p.pred_lang = t.true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN p.pred_lang IS NOT NULL AND p.pred_lang <> t.true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong,
+       round(sum(CASE WHEN p.pred_lang IS NOT NULL AND p.pred_lang <> t.true_lang THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN p.pred_lang IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fail_rate
+FROM truth t LEFT JOIN preds p ON t.doc_id = p.doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / text stats / scrub / similarity
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, keep the min doc_id per group."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    ).select("keep_doc_id", "n_copies")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct + mean token length."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.round(F.avg(F.length("word")), 4).alias("avg_len"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT d.doc_id, count(*) AS n_tokens,
+       count(DISTINCT t.word) AS n_distinct,
+       round(avg(length(t.word)), 4) AS avg_len
+FROM documents d,
+     LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+WHERE t.word <> ''
+GROUP BY d.doc_id
+"""
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length + lexical-diversity keep rule."""
+    stats = doc_token_stats(spark, sf_dir)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+        (
+            (F.col("n_tokens") >= 5)
+            & ((F.col("n_distinct") / F.col("n_tokens")) > 0.2)
+        ).alias("keep"),
+    )
+
+
+DOC_QUALITY_SQL = """
+WITH stats AS (
+    SELECT d.doc_id, count(*) AS n_tokens, count(DISTINCT t.word) AS n_distinct
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+    WHERE t.word <> ''
+    GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+       (n_tokens >= 5 AND n_distinct / CAST(n_tokens AS DOUBLE) > 0.2) AS keep
+FROM stats
+"""
+
+
+def pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled-regex PII/toxicity scrub through the production kernel
+    (FilterModel.scrub inside mapInPandas).  PII is synthesized
+    deterministically in-query (the sf documents contain none), so this
+    checks Python-re vs RE2 pattern parity end to end."""
+    from .functions.kernels import FilterModel
+
+    model = FilterModel({}, {}, {})
+    bc = spark.sparkContext.broadcast(model)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or 192.168.0."), F.col("doc_id") % 256,
+            F.lit(" ssn 123-45-6789 frak"),
+        ).alias("raw"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        m = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "scrubbed_text": [m.scrub(t) for t in pdf["raw"]],
+                }
+            )
+
+    return d.mapInPandas(run, schema="doc_id long, scrubbed_text string")
+
+
+_SCRUB_SQL_CHAIN = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(raw, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'), "
+    "'\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b', '<CARD>', 'g'), "
+    "'\\+?[0-9]{1,3}[ -.]?\\(?[0-9]{3}\\)?[ -.][0-9]{3}[ -.][0-9]{4}\\b', '<PHONE>', 'g'), "
+    "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g'), "
+    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'(?i)\\b(?:frak|gorram|smeg|felgercarb)\\b', '<TOXIC>', 'g')"
+)
+
+PIPELINE_SCRUB_SQL = f"""
+WITH raws AS (
+    SELECT doc_id,
+           substring(text, 1, 40) || ' contact user' || doc_id ||
+           '@example.com or 192.168.0.' || (doc_id % 256) ||
+           ' ssn 123-45-6789 frak' AS raw
+    FROM documents
+)
+SELECT doc_id, {_SCRUB_SQL_CHAIN} AS scrubbed_text FROM raws
+"""
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vectors (vec_id < 20).
+    JVM-side math: zip_with product + aggregate fold in double precision;
+    the query side is broadcast (no shuffle of the big side)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    q = (
+        e.filter("vec_id < 20")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("emb", "qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("nrm") * F.col("qnrm"))).alias("sim_raw")
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 3")
+        .select(
+            "query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank"
+        )
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qemb, e.emb) AS sim_raw
+    FROM q, e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "order_argmax_per_customer": order_argmax_per_customer,
+    "supplier_running_total": supplier_running_total,
+    "events_sessionize": events_sessionize,
+    "events_hourly": events_hourly,
+    "lang_resolution": lang_resolution,
+    "tokenize_explode": tokenize_explode,
+    "vocab_build": vocab_build,
+    "classify_relational": classify_relational,
+    "classify_vectorized": classify_vectorized,
+    "accuracy_metrics": accuracy_metrics,
+    "dedup_exact": dedup_exact,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_score": doc_quality_score,
+    "pipeline_scrub": pipeline_scrub,
+    "embedding_topk": embedding_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "order_argmax_per_customer": ORDER_ARGMAX_SQL,
+    "supplier_running_total": SUPPLIER_RUNNING_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "lang_resolution": LANG_RESOLUTION_SQL,
+    "tokenize_explode": TOKENIZE_EXPLODE_SQL,
+    "vocab_build": VOCAB_BUILD_SQL,
+    "classify_relational": CLASSIFY_SQL,
+    "classify_vectorized": CLASSIFY_SQL,  # kernel must equal the relational path
+    "accuracy_metrics": ACCURACY_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality_score": DOC_QUALITY_SQL,
+    "pipeline_scrub": PIPELINE_SCRUB_SQL,
+    "embedding_topk": EMBEDDING_TOPK_SQL,
+}
