@@ -1,0 +1,152 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The flagship metric is quality-filter throughput (turns/sec) over a
+deterministic synthetic transcripts table (seed=42, ~TRANSCRIPT_TURNS turns,
+generated once and cached under .bench/); the per-query seconds cover the
+registry's representative operators.
+
+Every timed run executes the full plan via the noop DataSource (no driver
+collect), matching how a cluster job would sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "order_argmax_per_customer",
+    "supplier_running_total",
+    "events_sessionize",
+    "classify_relational",
+    "classify_vectorized",
+    "doc_token_stats",
+    "pipeline_scrub",
+    "embedding_topk",
+]
+
+TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "10000"))
+TRANSCRIPT_TURNS_AVG = 16  # ~160k turns + skewed head
+
+
+def _ensure_transcripts(path: str) -> str:
+    if not os.path.exists(path):
+        from languagedetection_spark.fixtures.generate import (
+            gen_transcripts,
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = gen_transcripts(
+            seed=42, n_convs=TRANSCRIPT_CONVS, avg_turns=TRANSCRIPT_TURNS_AVG
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pa.table({
+            "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "role": pa.array([r["role"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "tool": pa.array([r["tool"] for r in rows], pa.string()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us", tz="UTC")),
+        })
+        # small row groups -> many scan splits, like a real multi-file
+        # dataset; a single fat row group caps scan parallelism at 1-3 tasks
+        pq.write_table(t, path, row_group_size=4096)
+    return path
+
+
+def _run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from languagedetection_spark.entry_queries import QUERIES
+    from languagedetection_spark.fixtures.generate import gen_labeled_corpus
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import quality_filter
+    from languagedetection_spark.plans.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus,
+        app_name="ld-spark-bench",
+        extra_conf={
+            # local sf files are a few MB; split them like a real dataset
+            # (at 100 TB the defaults -- 128 MB splits -- are correct)
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            "spark.sql.files.openCostInBytes": str(1 << 18),
+        },
+    )
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    transcripts_path = _ensure_transcripts(
+        os.path.join(repo, ".bench", f"transcripts_{TRANSCRIPT_CONVS}.parquet")
+    )
+
+    # warm-up: JVM codegen plus one pandas-UDF stage so every Python worker
+    # is spawned before timing starts (steady-state throughput is the metric)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: F401
+
+    def _noop_udf(it):
+        for pdf in it:
+            yield pdf
+
+    (spark.range(cpus * 4).repartition(cpus * 2)
+     .mapInPandas(_noop_udf, schema="id long")
+     .write.format("noop").mode("overwrite").save())
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: quality-filter throughput over the synthetic transcripts
+    corpus = [(lang, text) for text, lang, _iso in gen_labeled_corpus()]
+    model = FilterModel.from_corpus(corpus)
+    bc = broadcast_model(spark, model)
+    tdf = spark.read.parquet(transcripts_path)
+    n_turns = tdf.count()
+    # one local parquet file = one input split; the salted repartition (the
+    # same operator that breaks conv_id skew at cluster scale) spreads the
+    # map work and its shuffle cost is included in the measured time
+    from languagedetection_spark.plans.partitioning import salted_repartition
+
+    t0 = time.time()
+    _run_noop(quality_filter(salted_repartition(tdf, cpus * 2), bc))
+    timings["quality_pipeline_cold"] = round(time.time() - t0, 3)
+    # steady-state (warm JIT + page cache) is the cluster-relevant number
+    t0 = time.time()
+    _run_noop(quality_filter(salted_repartition(tdf, cpus * 2), bc))
+    pipeline_sec = time.time() - t0
+    timings["quality_pipeline"] = round(pipeline_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

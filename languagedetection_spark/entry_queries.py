@@ -385,17 +385,23 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source='src0'), gated by each language's alphabet char-class."""
     d = _t(spark, sf_dir, "documents").filter("source = 'src0'")
     dim = _dim_df(spark)
-    toks = (
+    # dictionary-encode first: distinct (language, word) pairs are tiny
+    # relative to token occurrences, and the non-foldable rlike compiles its
+    # pattern per evaluated row -- gate AFTER the distinct, not before.
+    pairs = (
         d.join(F.broadcast(dim), d.lang == dim.iso)
         .select("language", "token_pattern",
                 F.explode(F.split("text", " ")).alias("word"))
         .filter("word <> ''")
-        .filter(F.expr("word rlike token_pattern"))
+        .distinct()
     )
-    return toks.select(
-        "language", "word", F.lit(1.0).alias("score"),
-        F.lit(True).alias("is_axiom"),
-    ).distinct()
+    return (
+        pairs.filter(F.expr("word rlike token_pattern"))
+        .select(
+            "language", "word", F.lit(1.0).alias("score"),
+            F.lit(True).alias("is_axiom"),
+        )
+    )
 
 
 VOCAB_BUILD_SQL = f"""
@@ -419,6 +425,9 @@ def classify_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 0.0001 (trivially true for axiom sums)."""
     vocab = vocab_build(spark, sf_dir).select("language", "word", "score")
     d = _t(spark, sf_dir, "documents")
+    # the sf parquet is a single row group -> one input split; spread the
+    # map work (at real scale the scan itself yields thousands of splits)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter("word <> ''")
@@ -470,6 +479,7 @@ def classify_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             v.load_labeled(lang, r["text"])
     model = FilterModel.from_vocabulary(v, TrigramModel.train([]))
     bc = spark.sparkContext.broadcast(model)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def run(batches):
         import pandas as pd
@@ -721,6 +731,402 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+# near-dup test corpus: documents UNION truncated copies (first 40 words) of
+# every 10th doc -- deterministic on both engines, guaranteeing real overlap
+_NEARDUP_SQL_CTE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
+    FROM documents WHERE doc_id % 10 = 0
+),
+shingles AS (
+    SELECT DISTINCT c.doc_id, s.shingle
+    FROM corpus c,
+         LATERAL (
+             SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(c.text, ' ')) - 2, 0)),
+                 i -> array_to_string(list_slice(string_split(c.text, ' '), i, i + 2), ' ')
+             )) AS shingle
+         ) s
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    copies = d.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias("text"),
+    )
+    return d.select("doc_id", "text").unionAll(copies)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_ngram_jaccard_df
+
+    return dedup_ngram_jaccard_df(_neardup_corpus(spark, sf_dir), 0.5)
+
+
+DEDUP_NGRAM_SQL = (
+    _NEARDUP_SQL_CTE
+    + """
+, pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
+"""
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_minhash_lsh_df
+
+    return dedup_minhash_lsh_df(_neardup_corpus(spark, sf_dir), 0.5)
+
+
+DEDUP_MINHASH_SQL = (
+    _NEARDUP_SQL_CTE
+    + """
+, minh AS (
+    SELECT s.doc_id, i.i, min(md5(i.i || ':' || s.shingle)) AS hmin
+    FROM shingles s, (SELECT unnest(generate_series(0, 11)) AS i) i
+    GROUP BY s.doc_id, i.i
+),
+sig AS (
+    SELECT doc_id, string_agg(hmin, '' ORDER BY i) AS sig FROM minh
+    GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, b.b, substring(sig, b.b * 128 + 1, 128) AS key
+    FROM sig, (SELECT unnest(generate_series(0, 2)) AS b) b
+),
+pairs AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+    WHERE x.doc_id < y.doc_id
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
+"""
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_simhash_df
+
+    return dedup_simhash_df(_neardup_corpus(spark, sf_dir), max_hamming=3)
+
+
+DEDUP_SIMHASH_SQL = (
+    _NEARDUP_SQL_CTE
+    + """
+, hbits AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+    FROM shingles
+),
+bitsum AS (
+    SELECT doc_id, p.p,
+           sum(((h >> p.p) & 1) * 2 - 1) AS s
+    FROM hbits, (SELECT unnest(generate_series(0, 59)) AS p) p
+    GROUP BY doc_id, p.p
+),
+fps AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS fp
+    FROM bitsum GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, fp, b.b, (fp >> (b.b * 15)) & 32767 AS key
+    FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+WHERE x.doc_id < y.doc_id AND bit_count(xor(x.fp, y.fp)) <= 3
+"""
+)
+
+
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_bucketed_topk_df
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_bucketed_topk_df(e, e.filter("vec_id < 20"), k=3)
+
+
+ANN_BUCKETED_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+          + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+          + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+          + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+          + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS code
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb, code FROM e WHERE vec_id < 20),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qemb, e.emb) AS sim_raw
+    FROM q JOIN e ON e.code = q.code AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import dedup_embedding_cosine_df
+
+    return dedup_embedding_cosine_df(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+          + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+          + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+          + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+          + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS code
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+FROM e a JOIN e b ON a.code = b.code AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: fingerprint / BPE-ish token count / langid heuristic / split
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprint_df
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_df(d.repartition(spark.sparkContext.defaultParallelism))
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       CAST(list_reduce(
+           list_prepend(0::HUGEINT,
+               list_transform(string_split_regex(text, ''), c -> unicode(c)::HUGEINT)),
+           (h, o) -> (h * 131 + o) % 2305843009213693951
+       ) AS BIGINT) AS fp
+FROM documents
+"""
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import bpe_token_count_df
+
+    return bpe_token_count_df(_t(spark, sf_dir, "documents"))
+
+
+BPE_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import langid_heuristic_df
+
+    d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark).select("iso", "language")
+    labeled = (
+        d.filter("source = 'src0'")
+        .join(F.broadcast(dim), d.lang == dim.iso)
+        .select("language", "text")
+    )
+    return langid_heuristic_df(d.select("doc_id", "text"), labeled)
+
+
+LANGID_HEURISTIC_SQL = f"""
+WITH labeled AS (
+    SELECT m.language, d.text
+    FROM documents d JOIN {_dim_values_sql("m")} ON d.lang = m.iso
+    WHERE d.source = 'src0'
+),
+lt AS (
+    SELECT l.language, t.word
+    FROM labeled l, LATERAL (SELECT unnest(string_split(l.text, ' ')) AS word) t
+    WHERE t.word <> ''
+),
+freq AS (SELECT language, word, count(*) AS f FROM lt GROUP BY 1, 2),
+profile AS (
+    SELECT language, word FROM (
+        SELECT *, row_number() OVER (PARTITION BY language
+                                     ORDER BY f DESC, word) AS rn
+        FROM freq
+    ) WHERE rn <= 8
+),
+dt AS (
+    SELECT d.doc_id, t.word
+    FROM documents d, LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+    WHERE t.word <> ''
+),
+counts AS (SELECT doc_id, count(*) AS n_tokens FROM dt GROUP BY 1),
+hits AS (
+    SELECT dt.doc_id, p.language, count(*) AS n_hits
+    FROM dt JOIN profile p ON dt.word = p.word
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT h.doc_id, h.language,
+           round(h.n_hits / CAST(c.n_tokens AS DOUBLE), 4) AS score
+    FROM hits h JOIN counts c ON h.doc_id = c.doc_id
+)
+SELECT doc_id, language AS pred_lang, score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, language) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
+def holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-13 shuffle+holdout (Language.scala:335-341) re-expressed as a
+    DETERMINISTIC hash split (the reference's Random.shuffle is unseeded --
+    documented deviation): md5 of the key, first hex digit <= '4' ->
+    unlabeled (~5/16)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "4",
+            F.lit("unlabeled"),
+        ).otherwise(F.lit("labeled")).alias("split"),
+    )
+
+
+HOLDOUT_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '4'
+            THEN 'unlabeled' ELSE 'labeled' END AS split
+FROM documents
+"""
+
+
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-20 (TrainingResult.scala:114-131) as a proper (true, pred) count
+    matrix -- we do NOT reproduce the reference's positional misalignment
+    (a presentation bug, SURVEY §2 op-20)."""
+    preds = classify_relational(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark).select("iso", F.col("language").alias("true_lang"))
+    truth = d.join(F.broadcast(dim), d.lang == dim.iso).select(
+        "doc_id", "true_lang"
+    )
+    return (
+        truth.join(preds, "doc_id", "left")
+        .groupBy("true_lang", F.coalesce("pred_lang", F.lit("<none>")).alias("pred_lang"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+CONFUSION_SQL = (
+    _classify_cte()
+    + """
+, preds AS (
+    SELECT doc_id, language AS pred_lang
+    FROM ranked WHERE rn = 1 AND score > 0.0001
+),
+truth AS (
+    SELECT d.doc_id, m.language AS true_lang
+    FROM documents d JOIN dim m ON d.lang = m.iso
+)
+SELECT t.true_lang, coalesce(p.pred_lang, '<none>') AS pred_lang,
+       count(*) AS n
+FROM truth t LEFT JOIN preds p ON t.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+)
+
+
+def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-12 (Language.scala:254-255,361): the order-sensitive online
+    mean-adjust fold.  Inherently sequential (each classification mutates
+    the vocabulary the next one reads -- SURVEY §3 EP-2), so the fold runs
+    once over the ordered unlabeled stream and Spark serves the frozen
+    result; there is no SQL oracle (driver records rows-only)."""
+    from .refmodel.classifier import Vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    rows = (
+        d.select("doc_id", "lang", "text", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    v = Vocabulary()
+    for r in rows:
+        if r["source"] == "src0":
+            lang = ISO_TO_LANGUAGE.get(r["lang"])
+            if lang is not None:
+                v.load_labeled(lang, r["text"])
+    for r in rows:
+        if r["source"] != "src0":
+            v.classify(r["text"], adjust=True)
+    out = [
+        (lang, word, round(score, 6), is_axiom)
+        for lang, word, score, is_axiom in v.rows()
+    ]
+    return spark.createDataFrame(
+        out, "language string, word string, score double, is_axiom boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -742,6 +1148,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "pipeline_scrub": pipeline_scrub,
     "embedding_topk": embedding_topk,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_bucketed_topk": ann_bucketed_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "doc_fingerprint": doc_fingerprint,
+    "bpe_token_count": bpe_token_count,
+    "langid_heuristic": langid_heuristic,
+    "holdout_split": holdout_split,
+    "confusion_matrix": confusion_matrix,
+    "mean_adjust_fold": mean_adjust_fold,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -762,4 +1179,15 @@ ORACLE_SQL: dict[str, str] = {
     "doc_quality_score": DOC_QUALITY_SQL,
     "pipeline_scrub": PIPELINE_SCRUB_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "ann_bucketed_topk": ANN_BUCKETED_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "bpe_token_count": BPE_TOKEN_COUNT_SQL,
+    "langid_heuristic": LANGID_HEURISTIC_SQL,
+    "holdout_split": HOLDOUT_SPLIT_SQL,
+    "confusion_matrix": CONFUSION_SQL,
+    # mean_adjust_fold: inherently sequential online learning -- rows-only
 }

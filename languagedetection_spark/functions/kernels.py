@@ -56,6 +56,14 @@ class FilterModel:
         self._token_memo: dict[str, list[tuple[str, float, bool]]] = {}
         self._char_memo: dict[str, list[tuple[str, str, float, bool]]] = {}
         self._scrub = [(n, re.compile(p)) for n, p in SCRUB_RULES]
+        # EXACT pruning: a language with an empty vocabulary can never pass
+        # the existence gate (Language.scala:60-64), so its score is
+        # identically 0.0 and it can never clear the > 0.0001 winner
+        # threshold -- skipping it changes nothing.
+        self._live_word_langs = [
+            l for l in _WORD_LANGS if vocab.get(l)
+        ]
+        self._live_pc_langs = [l for l in _PC_LANGS if vocab.get(l)]
 
     # -- construction --------------------------------------------------------
 
@@ -90,7 +98,7 @@ class FilterModel:
         e = self._token_memo.get(tok)
         if e is None:
             e = []
-            for lang in _WORD_LANGS:
+            for lang in self._live_word_langs:
                 alpha = ALPHABET[lang]
                 ok = True
                 for c in tok:
@@ -113,7 +121,7 @@ class FilterModel:
             e = []
             if _is_java_letter(c):
                 low = c.lower()
-                for lang in _PC_LANGS:
+                for lang in self._live_pc_langs:
                     if c in ALPHABET[lang]:
                         vs = self.vocab[lang].get(low)
                         e.append((lang, low, vs if vs is not None else 0.0,

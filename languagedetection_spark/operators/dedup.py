@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all deterministic and engine-portable (hashes are md5-based so
+a DuckDB oracle can reproduce them bit-for-bit):
+
+* exact          -- hash-groupBy on the full text.
+* ngram_jaccard  -- exact Jaccard over distinct word-3-gram shingles via a
+                    shingle self-join (candidates = pairs sharing >= 1
+                    shingle).  At 100 TB, prune ultra-frequent shingles
+                    (they generate quadratic candidates) before the join;
+                    the operator takes ``max_shingle_freq`` for that.
+* minhash_lsh    -- K min-hashes (lexicographic min of md5(i:shingle)),
+                    banded into B bands of R rows; docs sharing a band key
+                    are candidates, then verified with exact Jaccard.
+                    Shuffles only candidate pairs, not the cross product.
+* simhash        -- 60-bit SimHash computed ROW-LOCALLY inside an Arrow
+                    batch (no shingle explode -- the whole signature is one
+                    map), banded on 15-bit slices, verified by hamming
+                    distance via bit_count(xor).
+
+All take/return DataFrames so they compose with any source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+MINHASH_K = 12
+MINHASH_BANDS = 3
+MINHASH_ROWS = 4  # K = BANDS * ROWS
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+
+
+def shingle_df(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (split on single spaces)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact_df(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    ).select("keep_doc_id", "n_copies")
+
+
+def _verify_jaccard(pairs: DataFrame, shingles: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via two shingle
+    joins; sizes are broadcast (one row per doc)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingle").alias("sh"))
+    b = shingles.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingle").alias("sh"))
+    inter = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_ngram_jaccard_df(docs: DataFrame, threshold: float = 0.5,
+                           max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact near-dup pairs by shingle Jaccard.  ``max_shingle_freq`` drops
+    shingles shared by more than that many docs from CANDIDATE GENERATION
+    only (verification still uses all shingles), the standard guard against
+    quadratic blowup on stop-shingles at scale."""
+    sh = shingle_df(docs)
+    cand_src = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+        cand_src = sh.join(
+            F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
+            "shingle",
+        ).select("doc_id", "shingle")
+    a = cand_src.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingle").alias("sh"))
+    b = cand_src.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingle").alias("sh"))
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(pairs, sh, threshold)
+
+
+def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
+                         k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+                         rows: int = MINHASH_ROWS) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-Jaccard verified.
+
+    h_i(doc) = min over shingles of md5('<i>:<shingle>') compared as hex
+    strings -- portable to any engine with md5().  Band key = concat of the
+    band's R min-hashes; only same-band pairs are shuffled."""
+    sh = shingle_df(docs)
+    spark = docs.sparkSession
+    hashes = spark.range(k).select(F.col("id").cast("int").alias("i"))
+    minh = (
+        sh.crossJoin(F.broadcast(hashes))
+        .select(
+            "doc_id", "i",
+            F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("hmin"))
+    )
+    sig = minh.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "hmin"))),
+                lambda s: s["hmin"],
+            ),
+        ).alias("sig")
+    )
+    band_ids = spark.range(bands).select(F.col("id").cast("int").alias("b"))
+    banded = sig.crossJoin(F.broadcast(band_ids)).select(
+        "doc_id", "b",
+        F.expr(f"substring(sig, b * {rows * 32} + 1, {rows * 32})").alias("key"),
+    )
+    left = banded.select("b", "key", F.col("doc_id").alias("doc_a"))
+    right = banded.select("b", "key", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        left.join(right, ["b", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(pairs, sh, threshold)
+
+
+def simhash_df(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc, computed row-locally in an Arrow batch.
+
+    bit_p(doc) = 1 iff sum over distinct shingles of (2*bit_p(h)-1) > 0,
+    h = int(md5(shingle)[:15], 16).  Map-only: nothing shuffles."""
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col]:
+                toks = [t for t in (text or "").split(" ") if t]
+                shingles = {
+                    " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+                }
+                if not shingles:
+                    fps.append(0)
+                    continue
+                acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                for s in shingles:
+                    h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    bits = (h >> np.arange(SIMHASH_BITS)) & 1
+                    acc += 2 * bits - 1
+                fp = int(((acc > 0).astype(np.int64)
+                          << np.arange(SIMHASH_BITS)).sum())
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "fp": fps})
+
+    return docs.mapInPandas(run, schema="doc_id long, fp long")
+
+
+def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band on 15-bit slices (a pair within hamming
+    distance 3 of a 60-bit code must agree on >= 1 of 4 bands), verify with
+    bit_count(xor)."""
+    fps = simhash_df(docs)
+    spark = docs.sparkSession
+    band_ids = spark.range(SIMHASH_BANDS).select(
+        F.col("id").cast("int").alias("b")
+    )
+    banded = fps.crossJoin(F.broadcast(band_ids)).select(
+        "doc_id", "fp", "b",
+        F.expr(f"shiftright(fp, b * {SIMHASH_BAND_BITS}) & 32767").alias("key"),
+    )
+    left = banded.select("b", "key", F.col("doc_id").alias("doc_a"),
+                         F.col("fp").alias("fp_a"))
+    right = banded.select("b", "key", F.col("doc_id").alias("doc_b"),
+                          F.col("fp").alias("fp_b"))
+    return (
+        left.join(right, ["b", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

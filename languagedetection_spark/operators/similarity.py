@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk_df``     -- brute-force exact top-k: broadcast the query
+  side, JVM-side zip_with/aggregate dot products in double precision, one
+  window for the per-query rank.  The baseline every ANN variant is
+  verified against.
+* ``ann_bucketed_topk_df`` -- sign-LSH bucketing with axis-aligned
+  hyperplanes (bucket code = sign bits of the first H components).
+  Deterministic (no RNG), so an SQL oracle can reproduce it exactly; at
+  scale candidates shrink ~2^H-fold.  Recall < 1 by construction -- the
+  operator reports only what the bucket contains; pair it with the exact
+  baseline to measure recall.
+
+At 100 TB the broadcast side is the (small) query set and the big side
+streams map-only; bucketing turns the all-pairs product into a per-bucket
+join keyed by the code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _with_norm(df: DataFrame, emb_col: str) -> DataFrame:
+    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    return df.withColumn("_emb", emb).withColumn(
+        "_nrm",
+        F.sqrt(F.aggregate("_emb", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+
+
+def cosine_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of each query row among df rows."""
+    base = _with_norm(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), "_emb", "_nrm"
+    )
+    q = _with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    pairs = base.join(F.broadcast(q),
+                      F.col("neighbor_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("_emb", "_qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("_nrm") * F.col("_qnrm"))).alias("sim_raw")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim_raw"),
+                                          F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def bucket_code(emb_col: str = "embedding", n_bits: int = 8):
+    """Sign-LSH code: bit i = (embedding[i] > 0)."""
+    bits = [
+        F.when(F.element_at(F.col(emb_col), i + 1) > 0, 1 << i).otherwise(0)
+        for i in range(n_bits)
+    ]
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return code.cast("int")
+
+
+def ann_bucketed_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         n_bits: int = 8) -> DataFrame:
+    """Top-k cosine within the query's sign-LSH bucket."""
+    base = _with_norm(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), "_emb", "_nrm",
+        bucket_code(emb_col, n_bits).alias("code"),
+    )
+    q = _with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_nrm").alias("_qnrm"),
+        bucket_code(emb_col, n_bits).alias("code"),
+    )
+    pairs = base.join(F.broadcast(q), "code").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("_emb", "_qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("_nrm") * F.col("_qnrm"))).alias("sim_raw")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim_raw"),
+                                          F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def dedup_embedding_cosine_df(df: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              emb_col: str = "embedding",
+                              n_bits: int = 8) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket candidates, cosine >=
+    threshold verified.  (Near-identical vectors share the bucket unless a
+    component sits exactly at 0 -- acceptable for near-dup mining; the
+    exact variant is a crossJoin.)"""
+    base = _with_norm(df, emb_col).select(
+        F.col(id_col).alias("vid"), "_emb", "_nrm",
+        bucket_code(emb_col, n_bits).alias("code"),
+    )
+    a = base.select("code", F.col("vid").alias("vec_a"),
+                    F.col("_emb").alias("ea"), F.col("_nrm").alias("na"))
+    b = base.select("code", F.col("vid").alias("vec_b"),
+                    F.col("_emb").alias("eb"), F.col("_nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "code")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators: fingerprinting, token counting, language-ID
+heuristic -- the remaining training-data-pipeline text ops.
+
+* ``fingerprint_df``     -- 61-bit polynomial rolling hash of the text
+  (mod 2^61-1, base 131), computed row-locally in an Arrow batch with a
+  numpy Horner loop.  Used for cheap content addressing / shard-stable
+  sampling.  (The md5 alternative is exact-dedup; a rolling hash supports
+  windowed substring fingerprints too.)
+* ``bpe_token_count_df`` -- whitespace tokens plus a BPE-ish subword count:
+  number of matches of a GPT-2-style pre-tokenizer regex (word pieces,
+  numbers, punctuation runs).  JVM-side regexp_count -- no Python.
+* ``langid_heuristic_df`` -- stopword-profile scorer: score(doc, lang) =
+  matched profile words / tokens; argmax with (score desc, lang asc)
+  tie-break.  Profiles are learned in-query (top-N frequent words per
+  labeled language), so the operator is self-contained and SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+FP_MOD = (1 << 61) - 1
+FP_BASE = 131
+
+# GPT-2-ish pre-tokenizer shape, reduced to the RE2/Java-common subset:
+# contractions, letter runs, digit runs, non-space-non-alnum runs.
+BPE_REGEX = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def fingerprint_py(text: str) -> int:
+    """Reference implementation (oracle for tests)."""
+    h = 0
+    for c in text:
+        h = (h * FP_BASE + ord(c)) % FP_MOD
+    return h
+
+
+def fingerprint_df(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                h = 0
+                for o in np.frombuffer(
+                    (text or "").encode("utf-32-le"), dtype=np.uint32
+                ).tolist():
+                    h = (h * FP_BASE + o) % FP_MOD
+                out.append(h)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "fp": out})
+
+    return docs.mapInPandas(run, schema="doc_id long, fp long")
+
+
+def bpe_token_count_df(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("ws_tokens"),
+        # F.lit keeps the backslashes out of the SQL-string parser (an
+        # expr("regexp_count(..., \"..\\s..\")") literal would eat them)
+        F.regexp_count(F.col(text_col), F.lit(BPE_REGEX)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def langid_heuristic_df(docs: DataFrame, labeled: DataFrame,
+                        profile_size: int = 8) -> DataFrame:
+    """docs: (doc_id, text); labeled: (language, text).  Returns
+    (doc_id, pred_lang, score) -- stopword-overlap argmax."""
+    ltoks = labeled.select(
+        "language", F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    freq = ltoks.groupBy("language", "word").agg(F.count("*").alias("f"))
+    wp = W.partitionBy("language").orderBy(F.desc("f"), F.asc("word"))
+    profile = (
+        freq.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= profile_size)
+        .select("language", "word")
+    )
+    dtoks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    counts = dtoks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    hits = (
+        dtoks.join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "language")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    scored = hits.join(counts, "doc_id").withColumn(
+        "score", F.round(F.col("n_hits") / F.col("n_tokens"), 4)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("language"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("language").alias("pred_lang"), "score")
+    )
