@@ -1,0 +1,85 @@
+"""spark-submit entry point for the quality-filter job.
+
+    spark-submit --py-files languagedetection_spark.zip \\
+        -m languagedetection_spark.jobs.filter_job \\
+        --input /path/transcripts.parquet --output /path/out \\
+        --checkpoint /path/ckpt [--corpus /path/labeled.parquet] \\
+        [--buckets 16] [--run-id r1] [--master local[8]]
+
+Reads transcripts (Parquet path or Iceberg identifier), builds/loads the
+frozen model, and processes per-conv_id hash buckets with checkpoint/resume
+and per-bucket lineage (sources/checkpoint.py).  Killing the job mid-run and
+re-submitting with the same --checkpoint/--run-id resumes exactly where it
+stopped; completed buckets are never recomputed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_model(spark, corpus_path: str | None):
+    from ..fixtures.generate import gen_labeled_corpus
+    from ..functions.kernels import FilterModel
+
+    if corpus_path:
+        rows = [
+            (r["language"], r["text"])
+            for r in spark.read.parquet(corpus_path)
+            .select("language", "text").collect()
+        ]
+    else:
+        rows = [(lang, text) for text, lang, _ in gen_labeled_corpus()]
+    return FilterModel.from_corpus(rows)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--corpus", default=None,
+                   help="labeled corpus parquet (language, text); "
+                        "default: the seed-42 fixture corpus")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--run-id", default="r1")
+    p.add_argument("--master", default=None)
+    p.add_argument("--fail-after", type=int, default=None,
+                   help="TESTING: raise after N buckets to exercise resume")
+    args = p.parse_args(argv)
+
+    from ..functions.udfs import broadcast_model
+    from ..operators.quality_filter import quality_filter
+    from ..plans.session import get_spark
+    from ..sources.checkpoint import model_fingerprint, run_with_checkpoint
+    from ..sources.readers import read_transcripts
+
+    spark = get_spark(master=args.master, app_name="ld-filter-job")
+    model = build_model(spark, args.corpus)
+    fp = model_fingerprint(model)
+    bc = broadcast_model(spark, model)
+    df = read_transcripts(spark, args.input)
+
+    count = {"n": 0}
+
+    def process(part):
+        count["n"] += 1
+        if args.fail_after is not None and count["n"] > args.fail_after:
+            raise RuntimeError(f"injected failure after {args.fail_after} buckets")
+        return quality_filter(part, bc)
+
+    processed = run_with_checkpoint(
+        spark, df, process, args.output, args.checkpoint, args.run_id,
+        n_buckets=args.buckets,
+        extra_lineage={"model_fingerprint": fp, "input_path": args.input},
+    )
+    print(json.dumps({"run_id": args.run_id, "processed_buckets": processed,
+                      "model_fingerprint": fp}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

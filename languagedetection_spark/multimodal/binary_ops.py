@@ -1,0 +1,119 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual codec work is STUBBED because the
+image/audio libraries are not in this container:
+
+* ``decode_media_df(..., fake=False)`` raises NotImplementedError per row
+  family -- the marked integration point for PIL/torchaudio/ffmpeg.
+* ``fake=True`` substitutes a deterministic decode (payload bytes -> shape
+  metadata + 16-bin byte histogram as the 'features'), so the distributed
+  path is exercised end to end and downstream operators (ANN over the
+  feature column, dedup over payload hashes) have real inputs.
+
+Schema convention (training-data-pipeline standard):
+    media(doc_id long, modality string, payload binary,
+          meta map<string,string>)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, modality string, payload binary, meta map<string,string>"
+)
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, features array<double>"
+)
+
+N_FEATURES = 16
+
+
+def decode_media_batch(payloads, modalities, fake: bool):
+    """The (stub) codec kernel: bytes -> fixed-length feature vector."""
+    import numpy as np
+
+    feats, sizes = [], []
+    for payload, modality in zip(payloads, modalities):
+        data = bytes(payload) if payload is not None else b""
+        sizes.append(len(data))
+        if not fake:
+            raise NotImplementedError(
+                f"real {modality} decode requires PIL/torchaudio/ffmpeg -- "
+                "not available in this environment; pass fake=True for the "
+                "deterministic stand-in"
+            )
+        if data:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
+            feats.append((hist / hist.sum()).tolist())
+        else:
+            feats.append([0.0] * N_FEATURES)
+    return sizes, feats
+
+
+def decode_media_df(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Distributed decode/feature-extract over Arrow batches (map-only)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sizes, feats = decode_media_batch(
+                pdf["payload"], pdf["modality"], fake
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": sizes,
+                "features": feats,
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_df(media: DataFrame, every_n_bytes: int = 1024,
+                    fake: bool = False) -> DataFrame:
+    """Video frame sampling stub: emits one row per sampled 'frame' offset.
+    Real implementation would demux with ffmpeg; the fake samples byte
+    offsets deterministically so the explode/partition shape is real."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "offset": []}
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg; pass fake=True"
+                    )
+                n = len(bytes(payload) if payload is not None else b"")
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["offset"].append(off)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run, schema="doc_id long, frame_idx int, offset long"
+    )
+
+
+def synthesize_media(spark, docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from the documents table: payload =
+    utf-8 text bytes, modality round-robins image/audio/video."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )

@@ -1,0 +1,107 @@
+"""Per-partition checkpoint/resume with lineage (north_rule requirement).
+
+The job splits its input into logical partitions (hash buckets of conv_id --
+at production scale these are Iceberg partitions), processes each bucket
+independently, and records one row per completed bucket in a ``_progress``
+Parquet table:
+
+    run_id, bucket, status, n_rows, n_kept, model_fingerprint, input_path,
+    finished_at
+
+A re-run with the same checkpoint dir skips completed buckets (idempotent
+resume after failure); each bucket's output is written to its own
+subdirectory, so a partially-written bucket is simply overwritten on retry
+(overwrite-by-partition idempotency).  The model fingerprint ties every
+bucket's output to the exact broadcast artifact that produced it (lineage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def model_fingerprint(model) -> str:
+    return hashlib.sha256(pickle.dumps(model)).hexdigest()[:16]
+
+
+def _progress_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "_progress")
+
+
+def load_completed(spark: SparkSession, checkpoint_dir: str,
+                   run_id: str) -> set[int]:
+    path = _progress_path(checkpoint_dir)
+    if not os.path.exists(path):
+        return set()
+    try:
+        df = spark.read.json(path)
+        return {
+            r["bucket"]
+            for r in df.filter(
+                (F.col("run_id") == run_id) & (F.col("status") == "done")
+            ).select("bucket").collect()
+        }
+    except Exception:
+        return set()
+
+
+def record_done(checkpoint_dir: str, run_id: str, bucket: int,
+                metrics: dict) -> None:
+    """Append one JSON line atomically (rename) -- crash-safe bookkeeping."""
+    path = _progress_path(checkpoint_dir)
+    os.makedirs(path, exist_ok=True)
+    row = {"run_id": run_id, "bucket": bucket, "status": "done",
+           "finished_at": time.time(), **metrics}
+    final = os.path.join(path, f"{run_id}-{bucket}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(row) + "\n")
+    os.replace(tmp, final)
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    df: DataFrame,
+    process,                      # DataFrame -> DataFrame
+    output_dir: str,
+    checkpoint_dir: str,
+    run_id: str,
+    n_buckets: int = 16,
+    key: str = "conv_id",
+    extra_lineage: dict | None = None,
+) -> list[int]:
+    """Process ``df`` bucket-by-bucket with resume.  Returns the buckets
+    processed in THIS invocation (completed ones are skipped).
+
+    Buckets are ``crc32(key) % n_buckets`` so membership is stable across
+    runs and engines.  Each bucket filter is pushed into the scan."""
+    done = load_completed(spark, checkpoint_dir, run_id)
+    bucketed = df.withColumn(
+        "_bucket", F.crc32(F.col(key).cast("string")) % n_buckets
+    )
+    processed = []
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        out = process(part)
+        dest = os.path.join(output_dir, f"bucket={b}")
+        out.write.mode("overwrite").parquet(dest)
+        n_rows = spark.read.parquet(dest).count()
+        n_kept = (
+            spark.read.parquet(dest).filter("keep").count()
+            if "keep" in out.columns else None
+        )
+        record_done(
+            checkpoint_dir, run_id, b,
+            {"n_rows": n_rows, "n_kept": n_kept,
+             "output": dest, **(extra_lineage or {})},
+        )
+        processed.append(b)
+    return processed

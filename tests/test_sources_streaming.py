@@ -1,0 +1,204 @@
+"""Tests for sources (regex-CSV scan, checkpoint/resume), streaming, and
+multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# op-1: regex CSV scan
+# ---------------------------------------------------------------------------
+
+def test_read_regex_csv(spark, tmp_path):
+    from languagedetection_spark.sources.readers import read_regex_csv
+
+    # multi-line texts, mixed-case names, one unknown name (dropped)
+    csv = (
+        "hello world\nsecond line,English\n"
+        "bonjour,FRENCH\n"
+        "mystery words,klingon\n"
+        "siste rad,nynorsk\n"
+    )
+    p = tmp_path / "data.csv"
+    p.write_text(csv, encoding="utf-8")
+    rows = {
+        (r["text"], r["language"])
+        for r in read_regex_csv(spark, str(p)).collect()
+    }
+    langs = {l for _, l in rows}
+    assert langs == {"english", "french", "nynorsk"}  # klingon dropped (op-2)
+    # the regex is non-greedy up to the LAST comma-name pair per match;
+    # multi-line text is preserved (Demo.scala:10 semantics)
+    assert any("\n" in t for t, _ in rows)
+
+
+def test_checkpoint_resume(spark, fixture_dir, tmp_path):
+    from languagedetection_spark.sources.checkpoint import (
+        load_completed, run_with_checkpoint,
+    )
+
+    df = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    out1, ck = str(tmp_path / "out1"), str(tmp_path / "ck")
+
+    def proc(part):
+        return part.withColumn("keep", F.length("text") > 5)
+
+    calls = {"n": 0}
+
+    def failing(part):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("boom")
+        return proc(part)
+
+    with pytest.raises(RuntimeError):
+        run_with_checkpoint(spark, df, failing, out1, ck, "t1", n_buckets=4)
+    assert load_completed(spark, ck, "t1") == {0, 1}
+
+    done = run_with_checkpoint(spark, df, proc, out1, ck, "t1", n_buckets=4)
+    assert done == [2, 3]
+    # idempotent re-run
+    assert run_with_checkpoint(spark, df, proc, out1, ck, "t1",
+                               n_buckets=4) == []
+    # resumed output == clean run output
+    out2 = str(tmp_path / "out2")
+    run_with_checkpoint(spark, df, proc, out2, str(tmp_path / "ck2"), "t1",
+                        n_buckets=4)
+    a = sorted(map(tuple, spark.read.parquet(out1 + "/bucket=*").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2 + "/bucket=*").collect()))
+    assert a == b and len(a) == df.count()
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, fixture_dir, tmp_path_factory):
+    """readStream needs a DIRECTORY source; split the fixture into files
+    (several micro-batches given maxFilesPerTrigger)."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    (spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+     .repartition(8).write.mode("overwrite").parquet(d))
+    return d
+
+
+def test_streaming_pipeline_matches_batch(spark, fixture_dir, oracle_model,
+                                          stream_dir):
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import quality_filter
+    from languagedetection_spark.streaming.pipeline import (
+        run_batch_to_memory, stream_transcripts, streaming_quality_filter,
+    )
+
+    v, tm, _ = oracle_model
+    bc = broadcast_model(spark, FilterModel.from_vocabulary(v, tm))
+    src = stream_dir
+
+    stream = stream_transcripts(spark, src)
+    assert stream.isStreaming
+    decided = streaming_quality_filter(stream, bc)
+    run_batch_to_memory(decided, "stream_out")
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["lang"], r["keep"], r["drop_reason"])
+        for r in spark.sql("SELECT * FROM stream_out").collect()
+    )
+    batch = sorted(
+        (r["conv_id"], r["turn_idx"], r["lang"], r["keep"], r["drop_reason"])
+        for r in quality_filter(spark.read.parquet(src), bc).collect()
+    )
+    assert got == batch
+
+
+def test_streaming_windowed_rates(spark, fixture_dir, oracle_model,
+                                  stream_dir):
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.streaming.pipeline import (
+        run_batch_to_memory, stream_transcripts, streaming_lang_rates,
+        streaming_quality_filter,
+    )
+
+    v, tm, _ = oracle_model
+    bc = broadcast_model(spark, FilterModel.from_vocabulary(v, tm))
+    src = stream_dir
+    decided = streaming_quality_filter(stream_transcripts(spark, src), bc)
+    rates = streaming_lang_rates(decided)
+    run_batch_to_memory(rates, "rates_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM rates_out").collect()
+    assert rows
+    assert all(r["n_kept"] <= r["n_turns"] for r in rows)
+
+
+def test_online_mean_adjust_stateful(spark, tmp_path):
+    from languagedetection_spark.streaming.online_learning import (
+        INPUT_SCHEMA, online_mean_adjust,
+    )
+    from languagedetection_spark.streaming.pipeline import run_batch_to_memory
+
+    src = str(tmp_path / "updates")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [
+            ("english", 1, ["aa", "bb", "cc", "dd", "ee", "ff", "gg"], 6.0, 7),
+            ("english", 2, ["gg", "hh"], 1.0, 2),  # n <= 6: insert only
+            ("french", 1, ["un", "deux"], 0.0, 2),
+        ],
+        INPUT_SCHEMA,
+    )
+    batch.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(src)
+    out = online_mean_adjust(stream)
+    run_batch_to_memory(out, "adj_out", output_mode="update")
+    rows = {r["language"]: r for r in spark.sql("SELECT * FROM adj_out").collect()}
+    assert rows["english"]["vocab_size"] == 8  # aa..gg + hh
+    assert rows["english"]["adjusted"] == 7    # only the n=7 event adjusts
+    assert rows["french"]["adjusted"] == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_fake(spark):
+    from languagedetection_spark.multimodal.binary_ops import (
+        N_FEATURES, decode_media_df, frame_sample_df, synthesize_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synthesize_media(spark, docs)
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,modality:string,payload:binary,"
+        "meta:map<string,string>>"
+    )
+    feats = decode_media_df(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:10]:
+        assert len(r["features"]) == N_FEATURES
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+    # deterministic across partitionings
+    again = sorted(
+        (r["doc_id"], tuple(r["features"]))
+        for r in decode_media_df(media.repartition(7), fake=True).collect()
+    )
+    assert again == sorted((r["doc_id"], tuple(r["features"])) for r in rows)
+    # frame sampling shape
+    frames = frame_sample_df(media, every_n_bytes=64, fake=True)
+    f = frames.filter("doc_id = 0").collect()
+    assert [r["frame_idx"] for r in f] == list(range(len(f)))
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from languagedetection_spark.multimodal.binary_ops import (
+        decode_media_df, synthesize_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synthesize_media(spark, docs.limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_media_df(media, fake=False).collect()
