@@ -731,6 +731,272 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth: semi/anti joins, set ops, rollup, pivot, JSON, as-of
+# ---------------------------------------------------------------------------
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi (EXISTS) + left-anti (NOT EXISTS) in one result: customers
+    flagged by whether they have any order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return with_orders.unionAll(without)
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, TRUE AS has_orders FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, FALSE AS has_orders FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def set_ops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over part-key sets from two relations."""
+    lp = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    pp = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    both = lp.intersect(pp).withColumn("tag", F.lit("both"))
+    only_part = pp.exceptAll(lp.distinct()).withColumn("tag", F.lit("part_only"))
+    return both.unionAll(only_part)
+
+
+SET_OPS_SQL = """
+SELECT partkey, 'both' AS tag FROM (
+    SELECT l_partkey AS partkey FROM lineitem
+    INTERSECT
+    SELECT p_partkey FROM part
+)
+UNION ALL
+SELECT partkey, 'part_only' AS tag FROM (
+    SELECT p_partkey AS partkey FROM part
+    EXCEPT ALL
+    SELECT DISTINCT l_partkey FROM lineitem
+)
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (grouping-sets family) over returnflag/linestatus."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty", "n",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user across event types."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"), F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"), F.col("error").alias("n_error"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)    AS n_click,
+       coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)     AS n_view,
+       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
+       coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0)   AS n_signup,
+       coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).filter("k IS NOT NULL")
+
+
+JSON_EVENTS_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark operator): for every non-purchase event,
+    the user's most recent purchase at or before it.  Spark side:
+    cogrouped applyInPandas + pd.merge_asof; oracle: DuckDB's native
+    ASOF LEFT JOIN -- two independent engines, one semantics."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter("event_type <> 'purchase'").select(
+        "user_id", "event_id", "ts"
+    )
+    # unique right side per (user, ts): keep the max event_id
+    right = (
+        e.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_cols={"purchase_id": "last_purchase_id"})
+    return out.select("event_id", "last_purchase_id")
+
+
+ASOF_SQL = """
+WITH p AS (
+    SELECT user_id, ts, max(event_id) AS purchase_id
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+l AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type <> 'purchase'
+)
+SELECT l.event_id, p.purchase_id AS last_purchase_id
+FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+"""
+
+
+def langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed char-n-gram language ID, relational form:
+    hash(char 3-grams) -> 2^14 buckets (md5-based, engine-portable),
+    per-language add-one-smoothed log-probs learned in-query from the
+    labeled subset, classify every doc by mean bucket log-prob, argmax with
+    the pinned tie-break.  (The Arrow-kernel twin lives in
+    functions/fasttext.py; this form is DuckDB-checkable.)"""
+    d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark).select("iso", "language")
+
+    # char 3-grams via substr over a position sequence (JVM-side)
+    def grams(frame, *id_cols):
+        idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+        g = F.explode(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3))))
+        return frame.select(*id_cols, g.alias("g"))
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % 16384
+    ).alias("b")
+
+    labeled = d.filter("source = 'src0'").join(
+        F.broadcast(dim), d.lang == dim.iso
+    ).select("language", "text")
+    lg = grams(labeled, "language").select("language", bucket)
+    counts = lg.groupBy("language", "b").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("language").agg(
+        F.sum("c").alias("total"), F.count("*").alias("vsize")
+    )
+    model = counts.join(totals, "language").select(
+        "language", "b",
+        F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vsize") + 1.0)).alias("logp"),
+    )
+    backoff = totals.select(
+        "language",
+        F.log(1.0 / (F.col("total") + F.col("vsize") + 1.0)).alias("bo"),
+    )
+
+    dg = grams(d, "doc_id").select("doc_id", bucket)
+    # a gram missing from a language's table contributes that language's
+    # backoff; present grams contribute their logp
+    per_lang = (
+        dg.crossJoin(F.broadcast(backoff))
+        .join(F.broadcast(model),
+              ["b", "language"], "left")
+        .groupBy("doc_id", "language")
+        .agg(
+            F.round(F.avg(F.coalesce("logp", "bo")), 6).alias("mean_logp")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("mean_logp"), F.asc("language"))
+    return (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("language").alias("pred_lang"), "mean_logp")
+    )
+
+
+LANGID_HASHED_SQL = f"""
+WITH dim AS (SELECT * FROM {_dim_values_sql()}),
+labeled AS (
+    SELECT m.language, d.text
+    FROM documents d JOIN dim m ON d.lang = m.iso
+    WHERE d.source = 'src0'
+),
+lg AS (
+    SELECT l.language,
+           ('0x' || substr(md5(t.g), 1, 8))::BIGINT % 16384 AS b
+    FROM labeled l,
+         LATERAL (SELECT unnest(list_transform(
+             generate_series(1, greatest(length(l.text) - 2, 0)),
+             i -> substr(l.text, i, 3))) AS g) t
+),
+counts AS (SELECT language, b, count(*) AS c FROM lg GROUP BY 1, 2),
+totals AS (
+    SELECT language, sum(c) AS total, count(*) AS vsize
+    FROM counts GROUP BY 1
+),
+model AS (
+    SELECT c.language, c.b, ln((c.c + 1.0) / (t.total + t.vsize + 1.0)) AS logp
+    FROM counts c JOIN totals t ON c.language = t.language
+),
+backoff AS (
+    SELECT language, ln(1.0 / (total + vsize + 1.0)) AS bo FROM totals
+),
+dg AS (
+    SELECT d.doc_id,
+           ('0x' || substr(md5(t.g), 1, 8))::BIGINT % 16384 AS b
+    FROM documents d,
+         LATERAL (SELECT unnest(list_transform(
+             generate_series(1, greatest(length(d.text) - 2, 0)),
+             i -> substr(d.text, i, 3))) AS g) t
+),
+per_lang AS (
+    SELECT dg.doc_id, bk.language,
+           round(avg(coalesce(m.logp, bk.bo)), 6) AS mean_logp
+    FROM dg CROSS JOIN backoff bk
+    LEFT JOIN model m ON m.b = dg.b AND m.language = bk.language
+    GROUP BY dg.doc_id, bk.language
+)
+SELECT doc_id, language AS pred_lang, mean_logp
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY mean_logp DESC, language) AS rn
+    FROM per_lang
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash)
 # ---------------------------------------------------------------------------
 
@@ -1148,6 +1414,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "pipeline_scrub": pipeline_scrub,
     "embedding_topk": embedding_topk,
+    "semi_anti_customers": semi_anti_customers,
+    "set_ops_parts": set_ops_parts,
+    "rollup_revenue": rollup_revenue,
+    "pivot_events": pivot_events,
+    "json_events": json_events,
+    "asof_last_purchase": asof_last_purchase,
+    "langid_hashed_ngram": langid_hashed_ngram,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1179,6 +1452,13 @@ ORACLE_SQL: dict[str, str] = {
     "doc_quality_score": DOC_QUALITY_SQL,
     "pipeline_scrub": PIPELINE_SCRUB_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
+    "semi_anti_customers": SEMI_ANTI_SQL,
+    "set_ops_parts": SET_OPS_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "pivot_events": PIVOT_SQL,
+    "json_events": JSON_EVENTS_SQL,
+    "asof_last_purchase": ASOF_SQL,
+    "langid_hashed_ngram": LANGID_HASHED_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
