@@ -1,0 +1,93 @@
+"""Physical-plan hygiene: the plans must be the ones we'd want at 100 TB --
+filters pushed into the parquet scan, columns pruned, small sides broadcast,
+and the scoring path shuffle-free.  (`.explain("formatted")` iterated until
+right, then pinned here.)"""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned read schema: only the 3 referenced columns reach the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dims_are_broadcast(spark):
+    from languagedetection_spark.entry_queries import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classify_vocab_join_is_broadcast(spark):
+    from languagedetection_spark.entry_queries import classify_relational
+
+    plan = _plan(classify_relational(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_pipeline_is_shuffle_free(spark, fixture_dir, oracle_model):
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import quality_filter
+
+    v, tm, _ = oracle_model
+    bc = broadcast_model(spark, FilterModel.from_vocabulary(v, tm))
+    df = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    plan = _plan(quality_filter(df, bc))
+    # map-only: scan -> ColumnarToRow -> MapInPandas; NO Exchange
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "FileScan parquet" in plan
+
+
+def test_salted_path_has_exactly_one_exchange(spark, fixture_dir,
+                                              oracle_model):
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import quality_filter
+    from languagedetection_spark.plans.partitioning import salted_repartition
+
+    v, tm, _ = oracle_model
+    bc = broadcast_model(spark, FilterModel.from_vocabulary(v, tm))
+    df = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    plan = _plan(quality_filter(salted_repartition(df, 8), bc))
+    assert plan.count("Exchange") == 1  # the salt shuffle, nothing else
+
+
+def test_kept_turns_filter_reaches_scan_side(spark, fixture_dir,
+                                             oracle_model):
+    """keep-filter sits directly above the UDF (it cannot cross a Python
+    UDF, but nothing else is between them)."""
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import (
+        kept_turns, quality_filter,
+    )
+
+    v, tm, _ = oracle_model
+    bc = broadcast_model(spark, FilterModel.from_vocabulary(v, tm))
+    df = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    opt = _optimized(kept_turns(quality_filter(df, bc)))
+    assert opt.index("Filter") < opt.index("MapInPandas")
