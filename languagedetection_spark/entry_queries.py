@@ -1360,6 +1360,29 @@ GROUP BY 1, 2
 )
 
 
+def langid_fasttext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production fastText-style detector (functions/fasttext.py): numpy
+    rolling-hash n-gram buckets + searchsorted log-prob lookup, broadcast
+    model, map-only.  Rows-only check (the uint64 rolling hash has no clean
+    SQL twin; the md5-bucketed relational variant `langid_hashed_ngram`
+    covers SQL-checkability of the concept)."""
+    from .functions.fasttext import HashedNgramModel, langid_fasttext_df
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = (
+        d.filter("source = 'src0'").select("lang", "text").collect()
+    )
+    rows = [
+        (ISO_TO_LANGUAGE[r["lang"]], r["text"])
+        for r in labeled if r["lang"] in ISO_TO_LANGUAGE
+    ]
+    model = HashedNgramModel.train(rows)
+    bc = spark.sparkContext.broadcast(model)
+    return langid_fasttext_df(
+        d.repartition(spark.sparkContext.defaultParallelism), bc
+    )
+
+
 def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-12 (Language.scala:254-255,361): the order-sensitive online
     mean-adjust fold.  Inherently sequential (each classification mutates
@@ -1432,6 +1455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holdout_split": holdout_split,
     "confusion_matrix": confusion_matrix,
     "mean_adjust_fold": mean_adjust_fold,
+    "langid_fasttext": langid_fasttext,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -1,0 +1,159 @@
+"""fastText-style hashed character-n-gram language detector -- the
+production-fast twin of the relational `langid_hashed_ngram` query.
+
+Model (public fastText idea, re-expressed): char n-grams (n = 2,3,4) of the
+normalized text are hashed into 2^18 buckets with a vectorized polynomial
+rolling hash (pure numpy -- no per-gram Python call); each language stores
+add-one-smoothed log-probabilities for its observed buckets as a pair of
+sorted numpy arrays, looked up batch-wise with ``np.searchsorted``.  Score =
+mean bucket log-prob; prediction = argmax with (score desc, language asc)
+tie-break and a margin-based confidence.
+
+Everything is deterministic (no RNG); the slow reference twin
+``score_text_slow`` computes the same numbers with Python loops for
+differential testing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+N_BUCKETS_LOG2 = 18
+N_BUCKETS = 1 << N_BUCKETS_LOG2
+_MASK = N_BUCKETS - 1
+_BASE = np.uint64(1000003)
+NGRAM_SIZES = (2, 3, 4)
+
+
+def _normalize(text: str) -> str:
+    return " ".join(text.lower().split())
+
+
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+
+
+def _gram_buckets(cp: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized polynomial hash of every char n-gram: bucket_i =
+    (sum_j cp[i+j] * BASE^(n-1-j)) & MASK, computed with shifted adds."""
+    if len(cp) < n:
+        return np.empty(0, dtype=np.uint64)
+    h = cp[: len(cp) - n + 1].copy()
+    for j in range(1, n):
+        h = h * _BASE + cp[j : len(cp) - n + 1 + j]
+    return h & np.uint64(_MASK)
+
+
+def text_buckets(text: str) -> np.ndarray:
+    cp = _codepoints(_normalize(text))
+    parts = [_gram_buckets(cp, n) for n in NGRAM_SIZES]
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+
+
+class HashedNgramModel:
+    """Per-language (sorted buckets, logps, backoff) tables."""
+
+    def __init__(self, langs: list[str], tables: dict[str, tuple],
+                 backoff: dict[str, float]) -> None:
+        self.langs = langs          # sorted -- the tie-break order
+        self.tables = tables        # lang -> (sorted buckets u64, logp f64)
+        self.backoff = backoff
+
+    @classmethod
+    def train(cls, rows: list[tuple[str, str]], alpha: float = 1.0
+              ) -> "HashedNgramModel":
+        counts: dict[str, dict[int, int]] = {}
+        for lang, text in rows:
+            bag = counts.setdefault(lang, {})
+            for b in text_buckets(text).tolist():
+                bag[b] = bag.get(b, 0) + 1
+        langs = sorted(counts)
+        tables, backoff = {}, {}
+        for lang in langs:
+            bag = counts[lang]
+            total = sum(bag.values())
+            vsize = len(bag) + 1
+            denom = total + alpha * vsize
+            buckets = np.array(sorted(bag), dtype=np.uint64)
+            logps = np.array(
+                [math.log((bag[int(b)] + alpha) / denom) for b in buckets],
+                dtype=np.float64,
+            )
+            tables[lang] = (buckets, logps)
+            backoff[lang] = math.log(alpha / denom)
+        return cls(langs, tables, backoff)
+
+    def __getstate__(self):
+        return (self.langs, self.tables, self.backoff)
+
+    def __setstate__(self, state):
+        self.langs, self.tables, self.backoff = state
+
+    # -- scoring ------------------------------------------------------------
+
+    def score_text(self, text: str) -> tuple[str | None, float, float]:
+        """(lang, mean_logp, margin_to_second); None for gram-less text."""
+        bs = text_buckets(text)
+        if len(bs) == 0:
+            return None, 0.0, 0.0
+        best_lang, best, second = None, -np.inf, -np.inf
+        for lang in self.langs:
+            buckets, logps = self.tables[lang]
+            idx = np.searchsorted(buckets, bs)
+            idx_c = np.minimum(idx, len(buckets) - 1)
+            hit = buckets[idx_c] == bs
+            score = float(
+                np.where(hit, logps[idx_c], self.backoff[lang]).mean()
+            )
+            if score > best:
+                best_lang, second, best = lang, best, score
+            elif score > second:
+                second = score
+        return best_lang, best, best - second if second > -np.inf else 0.0
+
+    def score_text_slow(self, text: str) -> tuple[str | None, float]:
+        """Loop-based reference twin for differential tests."""
+        bs = [int(b) for b in text_buckets(text)]
+        if not bs:
+            return None, 0.0
+        best_lang, best = None, -np.inf
+        for lang in self.langs:
+            buckets, logps = self.tables[lang]
+            table = {int(b): float(p) for b, p in zip(buckets, logps)}
+            bo = self.backoff[lang]
+            score = float(np.mean([table.get(b, bo) for b in bs]))
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang, best
+
+
+def langid_fasttext_df(docs, model_bc, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Distributed scorer: mapInPandas over Arrow batches, broadcast model."""
+
+    def run(batches):
+        import pandas as pd
+
+        m = model_bc.value if hasattr(model_bc, "value") else model_bc
+        for pdf in batches:
+            langs, scores, margins = [], [], []
+            for text in pdf[text_col]:
+                lang, score, margin = m.score_text(
+                    text if isinstance(text, str) else ""
+                )
+                langs.append(lang)
+                scores.append(round(score, 6))
+                margins.append(round(margin, 6))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col], "ft_lang": langs,
+                "ft_score": scores, "ft_margin": margins,
+            })
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, ft_lang string, ft_score double, ft_margin double",
+    )
