@@ -1415,6 +1415,140 @@ def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + quantile sketch) next to their
+    exact counterparts.  Rows-only: sketch values are engine-specific by
+    nature; the exact columns anchor the sanity bound in tests."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 2).alias(
+            "median_price_approx"
+        ),
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the embeddings table's `label` column serves as the
+    coarse quantizer's precomputed cell assignment (inverted-file lists =
+    partitions by label); search only the query's own cell.  At scale the
+    cell assignment comes from a trained coarse codebook; the Spark shape
+    (per-cell broadcast join instead of all-pairs) is identical."""
+    from .operators.similarity import _with_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = _with_norm(e, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), "label", "_emb", "_nrm"
+    )
+    q = _with_norm(e.filter("vec_id < 20"), "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with("_emb", "_qemb", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("_nrm") * F.col("_qnrm"))).alias("sim_raw")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 3")
+        .select("query_id", "neighbor_id",
+                F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
+      FROM e WHERE vec_id < 20),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qemb, e.emb) AS sim_raw
+    FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
+def axiom_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-19 (TrainingResult.scala:66-79): per language, axiom count vs
+    induction count with score != 0.0, over the mean-adjust fold's final
+    vocabulary.  Rows-only (depends on the sequential fold)."""
+    vocab = mean_adjust_fold(spark, sf_dir)
+    return (
+        vocab.groupBy("language")
+        .agg(
+            F.sum(F.col("is_axiom").cast("long")).alias("n_axioms"),
+            F.sum(
+                ((~F.col("is_axiom")) & (F.col("score") != 0.0)).cast("long")
+            ).alias("n_inductions"),
+        )
+    )
+
+
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the contract: tumbling 1-hour window counts
+    over the events table driven through a real streaming query
+    (memory sink, complete mode, processAllAvailable) -- the result must
+    equal the batch GROUP BY, which is the oracle."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ld_stream_events_{abs(hash(sf_dir)) % 99999}",
+    )
+    if not os.path.exists(src):
+        e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+            "event_type", "n",
+        )
+    )
+    name = f"stream_hourly_{abs(hash(sf_dir)) % 99999}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1456,6 +1590,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confusion_matrix": confusion_matrix,
     "mean_adjust_fold": mean_adjust_fold,
     "langid_fasttext": langid_fasttext,
+    "approx_aggregates": approx_aggregates,
+    "ann_ivf_topk": ann_ivf_topk,
+    "axiom_distribution": axiom_distribution,
+    "streaming_hourly": streaming_hourly,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1494,4 +1632,9 @@ ORACLE_SQL: dict[str, str] = {
     "holdout_split": HOLDOUT_SPLIT_SQL,
     "confusion_matrix": CONFUSION_SQL,
     # mean_adjust_fold: inherently sequential online learning -- rows-only
+    # langid_fasttext: uint64 rolling hash, no SQL twin -- rows-only
+    # approx_aggregates: sketches are engine-specific -- rows-only
+    # axiom_distribution: built on the sequential fold -- rows-only
+    "ann_ivf_topk": ANN_IVF_SQL,
+    "streaming_hourly": STREAMING_HOURLY_SQL,
 }
