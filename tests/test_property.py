@@ -1,0 +1,70 @@
+"""Property/differential tests (SURVEY §5.3): for ARBITRARY unicode text,
+the optimized Arrow kernel must reproduce the naive oracle exactly --
+tokenizer, frozen scoring, perplexity, heuristics, scrub, decision.
+
+No Spark here: the kernel's decide() is the exact function mapInPandas
+applies per row; distribution-independence is covered by
+test_spark_pipeline.py::test_partition_invariance.
+"""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from languagedetection_spark.functions.kernels import FilterModel
+from languagedetection_spark.refmodel.alphabets import LANGUAGES
+from languagedetection_spark.refmodel.classifier import Vocabulary
+from languagedetection_spark.refmodel.quality import TrigramModel, decide_turn
+from languagedetection_spark.refmodel.tokenizer import split_words
+
+
+@pytest.fixture(scope="module")
+def model_pair(oracle_model):
+    v, tm, _rows = oracle_model
+    return v, tm, FilterModel.from_vocabulary(v, tm)
+
+
+# mix of plain unicode, whitespace variants, and the quirk codepoints the
+# tokenizer treats specially (NBSP, unicode spaces, surrogate-adjacent,
+# apostrophes, hyphens, CJK, combining marks)
+_QUIRKS = "     '-ก一あ가́İß"
+text_strategy = st.text(
+    alphabet=st.one_of(
+        st.characters(max_codepoint=0x2FF),
+        st.sampled_from(_QUIRKS),
+        st.characters(min_codepoint=0x3000, max_codepoint=0x9FFF),
+        st.characters(min_codepoint=0x10000, max_codepoint=0x10400),  # astral
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=text_strategy)
+def test_kernel_decide_equals_oracle(text, model_pair):
+    v, tm, kernel = model_pair
+    gold = decide_turn(text, v, tm)
+    lang, conf, ppl, keep, drop, scrubbed = kernel.decide(text)
+    assert lang == gold.lang
+    assert conf == gold.lang_conf
+    assert ppl == gold.ppl
+    assert keep == gold.keep
+    assert drop == gold.drop_reason
+    assert scrubbed == gold.scrubbed_text
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=text_strategy, lang=st.sampled_from(LANGUAGES))
+def test_tokenizer_never_crashes_and_gates(text, lang):
+    toks = split_words(text, lang)
+    for t in toks:
+        assert t  # never empty
+        assert t == t.lower() or lang not in LANGUAGES  # lowered
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=text_strategy)
+def test_frozen_scoring_never_mutates(text, model_pair):
+    v, _tm, _kernel = model_pair
+    sizes = {lang: len(v.entries[lang]) for lang in LANGUAGES}
+    v.winner_frozen(text)
+    assert sizes == {lang: len(v.entries[lang]) for lang in LANGUAGES}
