@@ -828,11 +828,11 @@ def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT user_id,
-       coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)    AS n_click,
-       coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)     AS n_view,
-       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
-       coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0)   AS n_signup,
-       coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)    AS n_error
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT)    AS n_click,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT)     AS n_view,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT)   AS n_signup,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT)    AS n_error
 FROM events GROUP BY user_id
 """
 
