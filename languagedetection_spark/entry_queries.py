@@ -1415,6 +1415,65 @@ def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-21 (TestResult.scala:69-103): the stacked-bar prefix scan -- per
+    document, the running sum of word scores in word-position order
+    (posexplode + cumulative window).  Scores come from the src0 axiom
+    vocabulary; unknown words contribute 0.0 (exactly the matrix padding
+    the reference uses)."""
+    vocab = vocab_build(spark, sf_dir).select(
+        "word", F.lit(1.0).alias("wscore")
+    ).distinct()
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 50")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).filter("word <> ''").select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word"
+    )
+    scored = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", "word",
+        F.coalesce("wscore", F.lit(0.0)).alias("score"),
+    )
+    w = (
+        W.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return scored.select(
+        "doc_id", "pos", "word",
+        F.round(F.sum("score").over(w), 2).alias("cum_score"),
+    )
+
+
+WORD_CUMSUM_SQL = f"""
+WITH labeled AS (
+    SELECT m.language, m.token_pattern, d.text
+    FROM documents d JOIN {_dim_values_sql("m")} ON d.lang = m.iso
+    WHERE d.source = 'src0'
+),
+vocab AS (
+    SELECT DISTINCT t.word, 1.0 AS wscore
+    FROM labeled l,
+         LATERAL (SELECT unnest(string_split(l.text, ' ')) AS word) t
+    WHERE t.word <> '' AND regexp_matches(t.word, l.token_pattern)
+),
+toks AS (
+    SELECT d.doc_id, i.i AS pos,
+           list_extract(string_split(d.text, ' '), i.i) AS word
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(1,
+             len(string_split(d.text, ' ')))) AS i) i
+    WHERE d.doc_id < 50
+      AND list_extract(string_split(d.text, ' '), i.i) <> ''
+)
+SELECT t.doc_id, t.pos, t.word,
+       round(sum(coalesce(v.wscore, 0.0)) OVER (
+           PARTITION BY t.doc_id ORDER BY t.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_score
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+"""
+
+
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct + quantile sketch) next to their
     exact counterparts.  Rows-only: sketch values are engine-specific by
@@ -1590,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confusion_matrix": confusion_matrix,
     "mean_adjust_fold": mean_adjust_fold,
     "langid_fasttext": langid_fasttext,
+    "word_cumsum": word_cumsum,
     "approx_aggregates": approx_aggregates,
     "ann_ivf_topk": ann_ivf_topk,
     "axiom_distribution": axiom_distribution,
@@ -1635,6 +1695,7 @@ ORACLE_SQL: dict[str, str] = {
     # langid_fasttext: uint64 rolling hash, no SQL twin -- rows-only
     # approx_aggregates: sketches are engine-specific -- rows-only
     # axiom_distribution: built on the sequential fold -- rows-only
+    "word_cumsum": WORD_CUMSUM_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "streaming_hourly": STREAMING_HOURLY_SQL,
 }
