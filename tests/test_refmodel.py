@@ -192,3 +192,21 @@ def test_train_semi_supervised_deterministic():
     assert o1 == o2
     assert v1.rows() == v2.rows()
     assert len(o1) == 6  # int(20 * 0.3)
+
+
+def test_semi_supervised_accuracy_sanity():
+    """EP-2 end-to-end on the 24-language fixture corpus: the reference
+    algorithm should classify the held-out split well (the runtime fail-rate
+    printout is the reference's only correctness signal,
+    TrainingResult.scala:45-56)."""
+    from languagedetection_spark.fixtures.generate import gen_labeled_corpus
+
+    rows = [(lang, text) for text, lang, _ in gen_labeled_corpus()]
+    _v, outcomes = train_semi_supervised(rows, 0.3, seed=42)
+    # reference semantics: no-winner rows count in neither bucket
+    rights = sum(1 for t, p, _ in outcomes if p is not None and p == t)
+    wrongs = sum(1 for t, p, _ in outcomes if p is not None and p != t)
+    fail_rate = wrongs / (rights + wrongs)
+    assert fail_rate < 0.15, fail_rate
+    # dead languages never win (Blocked bug, Language.scala:395-399)
+    assert all(p not in ("indonesian", "latin") for _, p, _ in outcomes)
