@@ -38,7 +38,9 @@ text_strategy = st.text(
 )
 
 
-@settings(max_examples=300, deadline=None)
+# derandomize: CI runs explore the same example corpus every time (novel
+# counterexamples are hunted in dedicated sweeps, not in the gate)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(text=text_strategy)
 def test_kernel_decide_equals_oracle(text, model_pair):
     v, tm, kernel = model_pair
@@ -52,7 +54,7 @@ def test_kernel_decide_equals_oracle(text, model_pair):
     assert scrubbed == gold.scrubbed_text
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(text=text_strategy, lang=st.sampled_from(LANGUAGES))
 def test_tokenizer_never_crashes_and_gates(text, lang):
     toks = split_words(text, lang)
@@ -61,7 +63,7 @@ def test_tokenizer_never_crashes_and_gates(text, lang):
         assert t == t.lower() or lang not in LANGUAGES  # lowered
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(text=text_strategy)
 def test_frozen_scoring_never_mutates(text, model_pair):
     v, _tm, _kernel = model_pair
