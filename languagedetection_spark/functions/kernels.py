@@ -43,6 +43,29 @@ _WORD_LANGS: list[str] = [
 ]
 _PC_LANGS: list[str] = [l for l in LANGUAGES if l in PER_CHAR_LANGUAGES]
 
+_GOOD_TABLE_CACHE: dict | None = None
+
+
+def _good_char_table() -> dict:
+    """str.translate table deleting every BMP char that Java counts as a
+    letter or whitespace -- the complement is the symbol-ratio 'bad' set.
+    Astral code points are absent, i.e. kept, i.e. bad (a Java char pair is
+    two non-letter surrogates -- same verdict).  Built once per process."""
+    global _GOOD_TABLE_CACHE
+    if _GOOD_TABLE_CACHE is None:
+        import sys
+        import unicodedata
+
+        table: dict[int, None] = {}
+        for cp in range(0x10000):
+            c = chr(cp)
+            if unicodedata.category(c) in (
+                "Lu", "Ll", "Lt", "Lm", "Lo"
+            ) or _is_java_whitespace(c):
+                table[cp] = None
+        _GOOD_TABLE_CACHE = table
+    return _GOOD_TABLE_CACHE
+
 
 class FilterModel:
     """Frozen, picklable quality-filter model (vocab + trigram tables)."""
@@ -64,6 +87,7 @@ class FilterModel:
             l for l in _WORD_LANGS if vocab.get(l)
         ]
         self._live_pc_langs = [l for l in _PC_LANGS if vocab.get(l)]
+        self._good_table = _good_char_table()
 
     # -- construction --------------------------------------------------------
 
@@ -214,10 +238,10 @@ class FilterModel:
             drop = "too_short"
         else:
             n = len(stripped)
-            bad = sum(
-                1 for c in stripped
-                if not _is_java_letter(c) and not _is_java_whitespace(c)
-            )
+            # translate deletes every letter/whitespace char (per the Java
+            # predicates); what survives is exactly the "bad" count the
+            # oracle computes char-by-char
+            bad = len(stripped.translate(self._good_table))
             if bad / n > MAX_SYMBOL_RATIO:
                 drop = "symbol_ratio"
             elif n_tokens >= MIN_REP_TOKENS and rep > MAX_REP:
