@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--corpus", default=None,
                    help="labeled corpus parquet (language, text); "
                         "default: the seed-42 fixture corpus")
+    p.add_argument("--model-artifact", default=None,
+                   help="load the frozen model from this artifact instead "
+                        "of training from --corpus; if the file does not "
+                        "exist, the trained model is saved there")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--run-id", default="r1")
     p.add_argument("--master", default=None)
@@ -57,7 +61,18 @@ def main(argv: list[str] | None = None) -> int:
     from ..sources.readers import read_transcripts
 
     spark = get_spark(master=args.master, app_name="ld-filter-job")
-    model = build_model(spark, args.corpus)
+    import os
+
+    if args.model_artifact and os.path.exists(args.model_artifact):
+        from ..model.artifacts import load_model
+
+        model = load_model(args.model_artifact)
+    else:
+        model = build_model(spark, args.corpus)
+        if args.model_artifact:
+            from ..model.artifacts import save_model
+
+            save_model(model, args.model_artifact)
     fp = model_fingerprint(model)
     bc = broadcast_model(spark, model)
     df = read_transcripts(spark, args.input)

@@ -20,14 +20,19 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import pickle
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def model_fingerprint(model) -> str:
-    return hashlib.sha256(pickle.dumps(model)).hexdigest()[:16]
+    """Content fingerprint over a CANONICAL serialization.  (Pickle bytes are
+    identity-sensitive: shared interned strings memoize into backreferences,
+    so two equal-content models can pickle differently -- verified when a
+    JSON round-trip changed the pickle. sort_keys JSON is stable.)"""
+    state = model.__getstate__() if hasattr(model, "__getstate__") else model
+    blob = json.dumps(state, sort_keys=True, ensure_ascii=False)
+    return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
 
 
 def _progress_path(checkpoint_dir: str) -> str:
