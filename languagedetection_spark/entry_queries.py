@@ -1415,6 +1415,181 @@ def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL quality-filter decision cascade, relationally (DataFrame ops
+    only) so DuckDB can check every branch: vocab langid (ops 7/8/10/11) ->
+    add-one-smoothed char-trigram log-perplexity (KenLM-style, mirroring
+    refmodel.quality.TrigramModel exactly) -> heuristics (length,
+    repetition; symbol_ratio is identically 0 on this [a-z ] domain) ->
+    drop_reason precedence -> keep.  The Arrow-kernel twin of this cascade
+    is pytest-verified against the pure oracle on the multilingual
+    fixtures; THIS query puts the same cascade under the DuckDB gate."""
+    d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark)
+
+    # ---- langid: winner + conf (same CTEs as classify_relational) --------
+    preds = classify_relational(spark, sf_dir).select(
+        "doc_id", "pred_lang", F.col("score").alias("lang_conf")
+    )
+
+    # ---- trigram model from the labeled subset ----------------------------
+    def grams(frame, *id_cols):
+        idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+        g = F.explode(
+            F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3)))
+        )
+        return frame.select(*id_cols, g.alias("tri"))
+
+    labeled = d.filter("source = 'src0'").join(
+        F.broadcast(dim), d.lang == dim.iso
+    ).select("language", "text")
+    lt = grams(labeled, "language")
+    counts = lt.groupBy("language", "tri").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("language").agg(
+        F.sum("c").alias("total"), F.count("*").alias("vsize")
+    )
+    # refmodel.quality.TrigramModel.train: denom = total + alpha*(vsize+1)
+    model = counts.join(totals, "language").select(
+        "language", "tri",
+        F.log((F.col("c") + 1.0)
+              / (F.col("total") + F.col("vsize") + 1.0)).alias("logp"),
+    )
+    backoff = totals.select(
+        "language",
+        F.log(1.0 / (F.col("total") + F.col("vsize") + 1.0)).alias("bo"),
+    )
+
+    dt = grams(d, "doc_id")
+    ppl = (
+        dt.join(preds.select("doc_id",
+                             F.col("pred_lang").alias("language")), "doc_id")
+        .join(F.broadcast(backoff), "language")
+        .join(F.broadcast(model), ["language", "tri"], "left")
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg(F.coalesce("logp", "bo")), 6).alias("ppl"))
+    )
+
+    # ---- heuristics --------------------------------------------------------
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    rep = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.max("c") / F.sum("c")).alias("rep"),
+    )
+
+    base = d.select("doc_id", F.length(F.trim("text")).alias("n_chars"))
+    joined = (
+        base.join(rep, "doc_id", "left")
+        .join(preds, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+    )
+    drop = (
+        F.when(F.col("n_chars") < 10, "too_short")
+        .when(
+            (F.coalesce("n_tokens", F.lit(0)) >= 8)
+            & (F.coalesce("rep", F.lit(0.0)) > 0.5),
+            "repetition",
+        )
+        .when(F.col("pred_lang").isNull(), "no_lang")
+        .when(F.col("lang_conf") < 2.0, "low_lang_conf")
+        .when(F.col("ppl") > 7.5, "high_ppl")
+    )
+    return joined.select(
+        "doc_id",
+        F.col("pred_lang").alias("lang"),
+        F.coalesce("lang_conf", F.lit(0.0)).alias("lang_conf"),
+        F.coalesce("ppl", F.lit(0.0)).alias("ppl"),
+        drop.alias("drop_reason"),
+        drop.isNull().alias("keep"),
+    )
+
+
+PIPELINE_KEEP_SQL = (
+    _classify_cte()
+    + """
+, preds AS (
+    SELECT doc_id, language AS pred_lang, score AS lang_conf
+    FROM ranked WHERE rn = 1 AND score > 0.0001
+),
+lt AS (
+    SELECT l.language, t.tri
+    FROM labeled l,
+         LATERAL (SELECT unnest(list_transform(
+             generate_series(1, greatest(length(l.text) - 2, 0)),
+             i -> substr(l.text, i, 3))) AS tri) t
+),
+tcounts AS (SELECT language, tri, count(*) AS c FROM lt GROUP BY 1, 2),
+ttotals AS (
+    SELECT language, sum(c) AS total, count(*) AS vsize
+    FROM tcounts GROUP BY 1
+),
+tmodel AS (
+    SELECT c.language, c.tri,
+           ln((c.c + 1.0) / (t.total + t.vsize + 1.0)) AS logp
+    FROM tcounts c JOIN ttotals t ON c.language = t.language
+),
+tbackoff AS (
+    SELECT language, ln(1.0 / (total + vsize + 1.0)) AS bo FROM ttotals
+),
+dtris AS (
+    SELECT d.doc_id, t.tri
+    FROM documents d,
+         LATERAL (SELECT unnest(list_transform(
+             generate_series(1, greatest(length(d.text) - 2, 0)),
+             i -> substr(d.text, i, 3))) AS tri) t
+),
+ppl AS (
+    SELECT dt.doc_id, round(-avg(coalesce(m.logp, b.bo)), 6) AS ppl
+    FROM dtris dt
+    JOIN preds p ON p.doc_id = dt.doc_id
+    JOIN tbackoff b ON b.language = p.pred_lang
+    LEFT JOIN tmodel m ON m.language = p.pred_lang AND m.tri = dt.tri
+    GROUP BY dt.doc_id
+),
+tf AS (
+    SELECT d.doc_id, t.word, count(*) AS c
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+    WHERE t.word <> ''
+    GROUP BY d.doc_id, t.word
+),
+rep AS (
+    SELECT doc_id, sum(c) AS n_tokens,
+           max(c) / CAST(sum(c) AS DOUBLE) AS rep
+    FROM tf GROUP BY doc_id
+),
+joined AS (
+    SELECT d.doc_id, length(trim(d.text)) AS n_chars,
+           r.n_tokens, r.rep, p.pred_lang, p.lang_conf, x.ppl
+    FROM documents d
+    LEFT JOIN rep r ON r.doc_id = d.doc_id
+    LEFT JOIN preds p ON p.doc_id = d.doc_id
+    LEFT JOIN ppl x ON x.doc_id = d.doc_id
+)
+SELECT doc_id, pred_lang AS lang,
+       coalesce(lang_conf, 0.0) AS lang_conf,
+       coalesce(ppl, 0.0) AS ppl,
+       CASE WHEN n_chars < 10 THEN 'too_short'
+            WHEN coalesce(n_tokens, 0) >= 8 AND coalesce(rep, 0.0) > 0.5
+                 THEN 'repetition'
+            WHEN pred_lang IS NULL THEN 'no_lang'
+            WHEN lang_conf < 2.0 THEN 'low_lang_conf'
+            WHEN ppl > 7.5 THEN 'high_ppl'
+       END AS drop_reason,
+       (CASE WHEN n_chars < 10 THEN 'too_short'
+            WHEN coalesce(n_tokens, 0) >= 8 AND coalesce(rep, 0.0) > 0.5
+                 THEN 'repetition'
+            WHEN pred_lang IS NULL THEN 'no_lang'
+            WHEN lang_conf < 2.0 THEN 'low_lang_conf'
+            WHEN ppl > 7.5 THEN 'high_ppl'
+       END) IS NULL AS keep
+FROM joined
+"""
+)
+
+
 def word_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-21 (TestResult.scala:69-103): the stacked-bar prefix scan -- per
     document, the running sum of word scores in word-position order
@@ -1649,6 +1824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confusion_matrix": confusion_matrix,
     "mean_adjust_fold": mean_adjust_fold,
     "langid_fasttext": langid_fasttext,
+    "pipeline_keep": pipeline_keep,
     "word_cumsum": word_cumsum,
     "approx_aggregates": approx_aggregates,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1695,6 +1871,7 @@ ORACLE_SQL: dict[str, str] = {
     # langid_fasttext: uint64 rolling hash, no SQL twin -- rows-only
     # approx_aggregates: sketches are engine-specific -- rows-only
     # axiom_distribution: built on the sequential fold -- rows-only
+    "pipeline_keep": PIPELINE_KEEP_SQL,
     "word_cumsum": WORD_CUMSUM_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "streaming_hourly": STREAMING_HOURLY_SQL,
