@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "classify_relational",
     "classify_vectorized",
+    "pipeline_keep",
     "doc_token_stats",
     "pipeline_scrub",
     "embedding_topk",
