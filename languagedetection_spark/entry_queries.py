@@ -1590,6 +1590,62 @@ FROM joined
 )
 
 
+def conv_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level rollup of the decision cascade (the pipeline's
+    analytics sink): per source (the documents' conversation analog),
+    keep-rate, turn count, dominant language and mean perplexity."""
+    decisions = pipeline_keep(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = decisions.join(d, "doc_id")
+    agg = joined.groupBy("source").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("keep").cast("long")) / F.count("*"), 4
+        ).alias("keep_rate"),
+        F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+    )
+    # deterministic dominant language: highest conf, ties -> lang asc,
+    # doc_id asc (max_by/arg_max tie order is engine-defined, so rank it)
+    w = W.partitionBy("source").orderBy(
+        F.desc("lang_conf"), F.asc("lang"), F.asc("doc_id")
+    )
+    top = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return agg.join(top, "source")
+
+
+CONV_QUALITY_SQL = f"""
+WITH decisions AS ({PIPELINE_KEEP_SQL})
+, joined AS (
+    SELECT x.*, d.source
+    FROM decisions x JOIN documents d ON d.doc_id = x.doc_id
+),
+agg AS (
+    SELECT source,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS keep_rate,
+           round(avg(ppl), 6) AS avg_ppl
+    FROM joined GROUP BY source
+),
+top AS (
+    SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY lang_conf DESC, lang, doc_id) AS rn
+        FROM joined
+    ) WHERE rn = 1
+)
+SELECT a.source, a.n_turns, a.n_kept, a.keep_rate, a.avg_ppl, t.top_lang
+FROM agg a JOIN top t ON a.source = t.source
+"""
+
+
 def word_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-21 (TestResult.scala:69-103): the stacked-bar prefix scan -- per
     document, the running sum of word scores in word-position order
@@ -1825,6 +1881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mean_adjust_fold": mean_adjust_fold,
     "langid_fasttext": langid_fasttext,
     "pipeline_keep": pipeline_keep,
+    "conv_quality_report": conv_quality_report,
     "word_cumsum": word_cumsum,
     "approx_aggregates": approx_aggregates,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1872,6 +1929,7 @@ ORACLE_SQL: dict[str, str] = {
     # approx_aggregates: sketches are engine-specific -- rows-only
     # axiom_distribution: built on the sequential fold -- rows-only
     "pipeline_keep": PIPELINE_KEEP_SQL,
+    "conv_quality_report": CONV_QUALITY_SQL,
     "word_cumsum": WORD_CUMSUM_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "streaming_hourly": STREAMING_HOURLY_SQL,
