@@ -10,11 +10,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from languagedetection_spark.plans.session import get_spark
 
+    import tempfile
+
     spark = get_spark(
         master="local[4]",
         app_name="ld-spark-tests",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "500"},
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "500",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="ld_wh_"),
+        },
     )
     yield spark
     spark.stop()
