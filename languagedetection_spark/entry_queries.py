@@ -1363,9 +1363,12 @@ GROUP BY 1, 2
 def langid_fasttext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production fastText-style detector (functions/fasttext.py): numpy
     rolling-hash n-gram buckets + searchsorted log-prob lookup, broadcast
-    model, map-only.  Rows-only check (the uint64 rolling hash has no clean
-    SQL twin; the md5-bucketed relational variant `langid_hashed_ngram`
-    covers SQL-checkability of the concept)."""
+    model, map-only.  Emits both the plain mean-log-prob scoring and the
+    prior-corrected (`*_pc`) scoring that subtracts each language's backoff
+    baseline, removing the smallest-table bias on fully-OOV text.  Rows-only
+    check (the uint64 rolling hash has no clean SQL twin; the md5-bucketed
+    relational variant `langid_hashed_ngram` covers SQL-checkability of the
+    concept)."""
     from .functions.fasttext import HashedNgramModel, langid_fasttext_df
 
     d = _t(spark, sf_dir, "documents")

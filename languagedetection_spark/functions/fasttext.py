@@ -95,25 +95,68 @@ class HashedNgramModel:
 
     # -- scoring ------------------------------------------------------------
 
-    def score_text(self, text: str) -> tuple[str | None, float, float]:
-        """(lang, mean_logp, margin_to_second); None for gram-less text."""
-        bs = text_buckets(text)
-        if len(bs) == 0:
-            return None, 0.0, 0.0
-        best_lang, best, second = None, -np.inf, -np.inf
-        for lang in self.langs:
+    def _mean_logps(self, bs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-language (mean bucket log-prob, prior-corrected mean) for one
+        text's buckets, ordered like ``self.langs``.  The corrected mean is
+        ``mean(where(hit, logp - backoff, 0))`` — computed on the deltas, not
+        as ``mean - backoff``, so an all-miss text is EXACTLY 0.0 for every
+        language (no float residue to perturb the argmax tie-break)."""
+        means = np.empty(len(self.langs), dtype=np.float64)
+        pcs = np.empty(len(self.langs), dtype=np.float64)
+        for i, lang in enumerate(self.langs):
             buckets, logps = self.tables[lang]
+            bo = self.backoff[lang]
             idx = np.searchsorted(buckets, bs)
             idx_c = np.minimum(idx, len(buckets) - 1)
             hit = buckets[idx_c] == bs
-            score = float(
-                np.where(hit, logps[idx_c], self.backoff[lang]).mean()
-            )
-            if score > best:
-                best_lang, second, best = lang, best, score
-            elif score > second:
-                second = score
-        return best_lang, best, best - second if second > -np.inf else 0.0
+            means[i] = np.where(hit, logps[idx_c], bo).mean()
+            pcs[i] = np.where(hit, logps[idx_c] - bo, 0.0).mean()
+        return means, pcs
+
+    @staticmethod
+    def _argmax_margin(scores: np.ndarray,
+                       langs: list[str]) -> tuple[str, float, float]:
+        """Winner with (score desc, language asc) tie-break: langs is
+        sorted ascending and np.argmax returns the FIRST max index."""
+        i = int(np.argmax(scores))
+        best = float(scores[i])
+        if len(scores) > 1:
+            rest = np.delete(scores, i)
+            margin = best - float(rest.max())
+        else:
+            margin = 0.0
+        return langs[i], best, margin
+
+    def score_all(self, text: str):
+        """One pass over languages → both scorings of one text:
+        ``((lang, score, margin), (pc_lang, pc_score, pc_margin))``.
+
+        The *plain* score is the mean bucket log-prob (what the reference's
+        sum-of-word-scores argmax morally is, `Language.scala:350-361`).  Its
+        known failure mode: fully-OOV text scores ``backoff[lang]`` for every
+        gram, so the argmax degenerates to "which language has the
+        least-negative backoff" = smallest table.  The *prior-corrected* (pc)
+        score subtracts that per-language baseline — ``mean_logp -
+        backoff[lang]`` — so an all-OOV text scores exactly 0.0 for every
+        language (winner = alphabetically-first language with pc_margin 0.0;
+        consumers gate on the margin) and in-vocabulary evidence is measured
+        relative to each language's own smoothing floor.
+        """
+        bs = text_buckets(text)
+        if len(bs) == 0:
+            return (None, 0.0, 0.0), (None, 0.0, 0.0)
+        means, corrected = self._mean_logps(bs)
+        plain = self._argmax_margin(means, self.langs)
+        pc = self._argmax_margin(corrected, self.langs)
+        return plain, pc
+
+    def score_text(self, text: str) -> tuple[str | None, float, float]:
+        """(lang, mean_logp, margin_to_second); None for gram-less text."""
+        return self.score_all(text)[0]
+
+    def score_text_pc(self, text: str) -> tuple[str | None, float, float]:
+        """Prior-corrected scoring only (see ``score_all``)."""
+        return self.score_all(text)[1]
 
     def score_text_slow(self, text: str) -> tuple[str | None, float]:
         """Loop-based reference twin for differential tests."""
@@ -140,20 +183,24 @@ def langid_fasttext_df(docs, model_bc, id_col: str = "doc_id",
 
         m = model_bc.value if hasattr(model_bc, "value") else model_bc
         for pdf in batches:
-            langs, scores, margins = [], [], []
+            cols = {k: [] for k in ("ft_lang", "ft_score", "ft_margin",
+                                    "ft_lang_pc", "ft_score_pc",
+                                    "ft_margin_pc")}
             for text in pdf[text_col]:
-                lang, score, margin = m.score_text(
+                plain, pc = m.score_all(
                     text if isinstance(text, str) else ""
                 )
-                langs.append(lang)
-                scores.append(round(score, 6))
-                margins.append(round(margin, 6))
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col], "ft_lang": langs,
-                "ft_score": scores, "ft_margin": margins,
-            })
+                cols["ft_lang"].append(plain[0])
+                cols["ft_score"].append(round(plain[1], 6))
+                cols["ft_margin"].append(round(plain[2], 6))
+                cols["ft_lang_pc"].append(pc[0])
+                cols["ft_score_pc"].append(round(pc[1], 6))
+                cols["ft_margin_pc"].append(round(pc[2], 6))
+            yield pd.DataFrame({"doc_id": pdf[id_col], **cols})
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, ft_lang string, ft_score double, ft_margin double",
+        schema=("doc_id long, ft_lang string, ft_score double, "
+                "ft_margin double, ft_lang_pc string, ft_score_pc double, "
+                "ft_margin_pc double"),
     )
