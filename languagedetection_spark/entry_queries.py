@@ -1842,6 +1842,109 @@ FROM events GROUP BY 1, 2
 """
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — the full grouping-sets lattice (rollup_revenue covers the
+    prefix lattice; CUBE adds the (NULL, linestatus) cells)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_price", "n",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: events matched to a tiny value-tier dim on
+    ``lo <= value < hi``.  The dim is broadcast, so the physical plan is a
+    BroadcastNestedLoopJoin — the scale-correct shape for a non-equi join
+    against a small table (no shuffle of the fact side)."""
+    e = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    j = e.join(
+        F.broadcast(tiers),
+        (e.value >= tiers.lo) & (e.value < tiers.hi),
+    )
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT t.tier AS tier, count(*) AS n, round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+             ('high', 200.0, 1e18)) AS t(tier, lo, hi)
+  ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+"""
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event type — the exact
+    twin of the sketch-based `approx_aggregates` query."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking window: per-event-type value quartiles with a
+    deterministic (value, event_id) order, then a quartile profile."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("q", F.ntile(4).over(w))
+        .groupBy("event_type", "q")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+NTILE_SQL = """
+SELECT event_type, q, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM (
+    SELECT event_type, value,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS q
+    FROM events
+)
+GROUP BY event_type, q
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1890,6 +1993,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "axiom_distribution": axiom_distribution,
     "streaming_hourly": streaming_hourly,
+    "cube_revenue": cube_revenue,
+    "range_join_tiers": range_join_tiers,
+    "percentile_stats": percentile_stats,
+    "ntile_value_quartiles": ntile_value_quartiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1936,4 +2043,8 @@ ORACLE_SQL: dict[str, str] = {
     "word_cumsum": WORD_CUMSUM_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "streaming_hourly": STREAMING_HOURLY_SQL,
+    "cube_revenue": CUBE_SQL,
+    "range_join_tiers": RANGE_JOIN_SQL,
+    "percentile_stats": PERCENTILE_SQL,
+    "ntile_value_quartiles": NTILE_SQL,
 }
