@@ -1945,6 +1945,63 @@ GROUP BY event_type, q
 """
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract, END-TO-END under the DuckDB gate:
+    synthesize the opaque-binary media table from documents (payload =
+    utf-8 text bytes, modality round-robin), run the deterministic fake
+    decode (16-bin nibble histogram) through the real mapInPandas plumbing
+    (multimodal/binary_ops.py), and emit the nonzero bins.  The documents
+    domain is [a-z ] so exactly bins 2 (space 0x20), 6 (a-o 0x6*) and
+    7 (p-z 0x7*) are populated — each independently recomputable from the
+    text in SQL, which makes the whole decode path oracle-checkable."""
+    from .multimodal.binary_ops import decode_media_df, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    feats = decode_media_df(synthesize_media(spark, d), fake=True)
+    return feats.select(
+        "doc_id", "modality", "n_bytes",
+        F.round(F.element_at("features", 3), 6).alias("f_space"),
+        F.round(F.element_at("features", 7), 6).alias("f_ao"),
+        F.round(F.element_at("features", 8), 6).alias("f_pz"),
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       list_extract(['image', 'audio', 'video'],
+                    CAST(doc_id % 3 AS INTEGER) + 1) AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       round((length(text) - length(replace(text, ' ', '')))
+             / CAST(length(text) AS DOUBLE), 6) AS f_space,
+       round(length(regexp_replace(text, '[^a-o]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), 6) AS f_ao,
+       round(length(regexp_replace(text, '[^p-z]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), 6) AS f_pz
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the stub plumbing: one row per
+    1024-byte 'frame' offset (multimodal/binary_ops.py::frame_sample_df);
+    the offset arithmetic is recomputed relationally in the oracle."""
+    from .multimodal.binary_ops import frame_sample_df, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthesize_media(spark, d).filter("modality = 'video'")
+    return frame_sample_df(media, every_n_bytes=1024, fake=True)
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 1024 AS BIGINT) AS offset
+FROM documents,
+     unnest(range(CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT)))
+         AS t(i)
+WHERE doc_id % 3 = 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1997,6 +2054,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_tiers": range_join_tiers,
     "percentile_stats": percentile_stats,
     "ntile_value_quartiles": ntile_value_quartiles,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2047,4 +2106,6 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_tiers": RANGE_JOIN_SQL,
     "percentile_stats": PERCENTILE_SQL,
     "ntile_value_quartiles": NTILE_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
 }
