@@ -121,17 +121,18 @@ def main() -> None:
     bc = broadcast_model(spark, model)
     tdf = spark.read.parquet(transcripts_path)
     n_turns = tdf.count()
-    # one local parquet file = one input split; the salted repartition (the
-    # same operator that breaks conv_id skew at cluster scale) spreads the
-    # map work and its shuffle cost is included in the measured time
-    from languagedetection_spark.plans.partitioning import salted_repartition
-
+    # Map-only: scan splits (1 MiB, set above) flow straight into the Arrow
+    # kernel with no exchange -- the production plan.  Per-turn scoring is
+    # row-local, so conv_id skew cannot unbalance it; the salted repartition
+    # is reserved for conv-level aggregates (see BENCH/BASELINE.md for the
+    # measured shuffle tax of salting this hot path: 8->32-core efficiency
+    # 0.87 map-only vs 0.63 salted).
     t0 = time.time()
-    _run_noop(quality_filter(salted_repartition(tdf, cpus * 2), bc))
+    _run_noop(quality_filter(tdf, bc))
     timings["quality_pipeline_cold"] = round(time.time() - t0, 3)
     # steady-state (warm JIT + page cache) is the cluster-relevant number
     t0 = time.time()
-    _run_noop(quality_filter(salted_repartition(tdf, cpus * 2), bc))
+    _run_noop(quality_filter(tdf, bc))
     pipeline_sec = time.time() - t0
     timings["quality_pipeline"] = round(pipeline_sec, 3)
 

@@ -27,7 +27,6 @@ from languagedetection_spark.fixtures.generate import gen_labeled_corpus
 from languagedetection_spark.functions.kernels import FilterModel
 from languagedetection_spark.functions.udfs import broadcast_model
 from languagedetection_spark.operators.quality_filter import quality_filter
-from languagedetection_spark.plans.partitioning import salted_repartition
 
 cpus = int(sys.argv[1])
 n_convs = int(os.environ.get("BENCH_SCALING_CONVS", "75000"))
@@ -53,8 +52,14 @@ tdf = spark.read.parquet(path)
 n = tdf.count()
 
 def run():
+    # Map-only scoring over scan splits -- the production plan (SURVEY §3):
+    # per-turn scoring is row-local, so 1 MiB input splits already balance
+    # load and no exchange is needed.  The salted repartition is reserved
+    # for conv-level aggregates where conv_id skew actually exists; putting
+    # it in this hot path was measured to cost a full-data shuffle and drop
+    # 8->32-core efficiency from 0.87 to 0.63 (see BENCH/BASELINE.md).
     t0 = time.time()
-    (quality_filter(salted_repartition(tdf, cpus * 2), bc)
+    (quality_filter(tdf, bc)
      .write.format("noop").mode("overwrite").save())
     return time.time() - t0
 
@@ -111,12 +116,17 @@ processes at ~0.93 on this box, which bounds what ANY job can show here.)
 **Scaling efficiency = {r32["turns_per_sec"]} / (4 × {r8["turns_per_sec"]}) =
 {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 
-Why it scales: the scoring stage is map-only (no shuffle barrier -- one
-salted repartition spreads input splits, then mapInPandas), model artifacts
-are broadcast once per executor, and per-token memoization keeps the Python
-kernel CPU-bound rather than allocation-bound.  On a real cluster the same
-plan shape holds: scan splits → salted exchange → Arrow-batch map; nothing
-in the job is proportional to cluster size except the split count.
+Why it scales: the scoring stage is map-only — scan splits straight into
+mapInPandas with NO exchange (per-turn scoring is row-local, so 1 MiB input
+splits balance load without any repartition; conv_id skew is irrelevant to a
+per-row kernel).  Model artifacts are broadcast once per executor, and
+per-token memoization keeps the Python kernel CPU-bound rather than
+allocation-bound.  The salted repartition is reserved for conv-level
+aggregates where skew actually bites; measured on this box, putting it in
+the scoring hot path costs a full-data shuffle and drops 8→32-core
+efficiency from ~0.87 to ~0.63.  On a real cluster the same plan shape
+holds: scan splits → Arrow-batch map → write; nothing in the job is
+proportional to cluster size except the split count.
 
 Reproduce: `python bench_scaling.py` (env `BENCH_SCALING_N` sets N,
 `BENCH_SCALING_CONVS` scales the input).
