@@ -1365,10 +1365,10 @@ def langid_fasttext(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling-hash n-gram buckets + searchsorted log-prob lookup, broadcast
     model, map-only.  Emits both the plain mean-log-prob scoring and the
     prior-corrected (`*_pc`) scoring that subtracts each language's backoff
-    baseline, removing the smallest-table bias on fully-OOV text.  Rows-only
-    check (the uint64 rolling hash has no clean SQL twin; the md5-bucketed
-    relational variant `langid_hashed_ngram` covers SQL-checkability of the
-    concept)."""
+    baseline, removing the smallest-table bias on fully-OOV text.
+    DuckDB-oracle-checked value-for-value: the wrapping-uint64 polynomial
+    hash is reproduced exactly in SQL via HUGEINT arithmetic, because
+    ``(V mod 2^64) mod 2^18 == V mod 2^18`` (see LANGID_FASTTEXT_SQL)."""
     from .functions.fasttext import HashedNgramModel, langid_fasttext_df
 
     d = _t(spark, sf_dir, "documents")
@@ -1384,6 +1384,92 @@ def langid_fasttext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_fasttext_df(
         d.repartition(spark.sparkContext.defaultParallelism), bc
     )
+
+
+def _ft_grams_sql(src: str, id_col: str) -> str:
+    """SQL twin of functions/fasttext.py::text_buckets for one source CTE
+    (which must expose a normalized text column ``t``).
+
+    The numpy kernel folds ``h = h * 1000003 + codepoint`` in wrapping
+    uint64 and takes ``h & (2^18 - 1)``.  Because 2^18 divides 2^64,
+    ``(V mod 2^64) mod 2^18 == V mod 2^18`` for the full-precision
+    polynomial V — so HUGEINT arithmetic on the expanded polynomial
+    reproduces every bucket exactly, no wrap emulation needed."""
+    blocks = []
+    for n in (2, 3, 4):
+        terms = " + ".join(
+            f"CAST(unicode(substr(t, s.i + {j}, 1)) AS HUGEINT)"
+            + (f" * {1000003 ** (n - 1 - j)}" if n - 1 - j > 0 else "")
+            for j in range(n)
+        )
+        blocks.append(
+            f"    SELECT {id_col}, CAST(({terms}) % 262144 AS BIGINT) AS b\n"
+            f"    FROM {src}, LATERAL (SELECT unnest(generate_series(\n"
+            f"        1, length(t) - {n - 1})) AS i) s"
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+LANGID_FASTTEXT_SQL = f"""
+WITH dim AS (SELECT * FROM {_dim_values_sql()}),
+docs AS (
+    SELECT doc_id, lang, source,
+           lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS t
+    FROM documents
+),
+labeled AS (
+    SELECT m.language, d.t FROM docs d JOIN dim m ON d.lang = m.iso
+    WHERE d.source = 'src0'
+),
+lg AS (
+{_ft_grams_sql('labeled', 'language')}
+),
+counts AS (SELECT language, b, count(*) AS c FROM lg GROUP BY 1, 2),
+totals AS (
+    SELECT language, sum(c) AS total, count(*) AS vsize FROM counts GROUP BY 1
+),
+model AS (
+    SELECT c.language, c.b,
+           ln((c.c + 1.0) / (t.total + t.vsize + 1.0)) AS logp
+    FROM counts c JOIN totals t ON c.language = t.language
+),
+backoff AS (
+    SELECT language, ln(1.0 / (total + vsize + 1.0)) AS bo FROM totals
+),
+dg AS (
+{_ft_grams_sql('docs', 'doc_id')}
+),
+per_lang AS (
+    SELECT dg.doc_id, bk.language,
+           avg(coalesce(m.logp, bk.bo)) AS mean_logp,
+           avg(CASE WHEN m.logp IS NOT NULL
+                    THEN m.logp - bk.bo ELSE 0.0 END) AS pc
+    FROM dg CROSS JOIN backoff bk
+    LEFT JOIN model m ON m.b = dg.b AND m.language = bk.language
+    GROUP BY dg.doc_id, bk.language
+),
+plain AS (
+    SELECT doc_id, language, mean_logp,
+           mean_logp - lead(mean_logp) OVER w AS margin,
+           row_number() OVER w AS rn
+    FROM per_lang WINDOW w AS (PARTITION BY doc_id
+                               ORDER BY mean_logp DESC, language)
+),
+pcw AS (
+    SELECT doc_id, language, pc,
+           pc - lead(pc) OVER w AS margin,
+           row_number() OVER w AS rn
+    FROM per_lang WINDOW w AS (PARTITION BY doc_id
+                               ORDER BY pc DESC, language)
+)
+SELECT p.doc_id,
+       p.language AS ft_lang, round(p.mean_logp, 6) AS ft_score,
+       round(coalesce(p.margin, 0.0), 6) AS ft_margin,
+       q.language AS ft_lang_pc, round(q.pc, 6) AS ft_score_pc,
+       round(coalesce(q.margin, 0.0), 6) AS ft_margin_pc
+FROM (SELECT * FROM plain WHERE rn = 1) p
+JOIN (SELECT * FROM pcw WHERE rn = 1) q ON p.doc_id = q.doc_id
+"""
 
 
 def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2094,9 +2180,9 @@ ORACLE_SQL: dict[str, str] = {
     "holdout_split": HOLDOUT_SPLIT_SQL,
     "confusion_matrix": CONFUSION_SQL,
     # mean_adjust_fold: inherently sequential online learning -- rows-only
-    # langid_fasttext: uint64 rolling hash, no SQL twin -- rows-only
     # approx_aggregates: sketches are engine-specific -- rows-only
     # axiom_distribution: built on the sequential fold -- rows-only
+    "langid_fasttext": LANGID_FASTTEXT_SQL,
     "pipeline_keep": PIPELINE_KEEP_SQL,
     "conv_quality_report": CONV_QUALITY_SQL,
     "word_cumsum": WORD_CUMSUM_SQL,
