@@ -33,8 +33,10 @@ BENCH_QUERIES = [
     "embedding_topk",
 ]
 
-TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "10000"))
-TRANSCRIPT_TURNS_AVG = 16  # ~160k turns + skewed head
+TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "50000"))
+TRANSCRIPT_TURNS_AVG = 16  # ~775k turns + skewed head; big enough that the
+# flagship's 32-core wall time (~5 s) dominates fixed overhead -- a 155k-turn
+# input finished in ~1.5 s and produced co-tenancy-noisy turns/sec numbers
 
 
 def _ensure_transcripts(path: str) -> str:
