@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import re
+from collections import Counter
 
 from ..refmodel.alphabets import (
     ALPHABET, DEAD_LANGUAGES, LANGUAGES, PER_CHAR_LANGUAGES,
@@ -44,6 +45,72 @@ _WORD_LANGS: list[str] = [
 _PC_LANGS: list[str] = [l for l in LANGUAGES if l in PER_CHAR_LANGUAGES]
 
 _GOOD_TABLE_CACHE: dict | None = None
+_WORD_DEL_CACHE: dict | None = None
+_PC_DEL_CACHE: dict[tuple, dict] = {}
+
+
+def _word_filter_table() -> dict:
+    """str.translate table deleting every BMP char the tokenizer filter
+    drops (not Java-letter, not Java-whitespace, not apostrophe --
+    Language.scala:88).  Exact for BMP-only strings; astral chars (which
+    the filter also drops, both predicates being BMP-bounded) are unmapped
+    and therefore KEPT by translate, so callers must fall back to the
+    per-char path when the string contains any codepoint > 0xFFFF."""
+    global _WORD_DEL_CACHE
+    if _WORD_DEL_CACHE is None:
+        table: dict[int, None] = {}
+        for cp in range(0x10000):
+            c = chr(cp)
+            if not (_is_java_letter(c) or _is_java_whitespace(c) or c == "'"):
+                table[cp] = None
+        _WORD_DEL_CACHE = table
+    return _WORD_DEL_CACHE
+
+
+def _pc_filter_table(live_pc_langs: tuple[str, ...]) -> dict:
+    """str.translate table deleting every BMP char that NO live per-char
+    language accepts (i.e. chars whose ``_char_entry`` is provably empty).
+    Astral codepoints stay unmapped -> kept -> routed through the memo,
+    which returns [] for them -- so no fallback is needed on this path."""
+    t = _PC_DEL_CACHE.get(live_pc_langs)
+    if t is None:
+        t = {}
+        alphas = [ALPHABET[lang] for lang in live_pc_langs]
+        for cp in range(0x10000):
+            c = chr(cp)
+            if not (_is_java_letter(c) and any(c in a for a in alphas)):
+                t[cp] = None
+        _PC_DEL_CACHE[live_pc_langs] = t
+    return t
+
+
+_NORM_TABLE_CACHE: dict | None = None
+
+
+def _norm_filter_table() -> dict:
+    """str.translate twin of ``TrigramModel._norm``'s per-char filter (on
+    the ALREADY-lowered string): Java whitespace -> ' ', letters/digits
+    kept, everything else deleted.  BMP-only — astral digits are kept by
+    the oracle (str.isdigit) while astral letters are dropped
+    (``_is_java_letter`` is BMP-bounded), so astral input falls back."""
+    global _NORM_TABLE_CACHE
+    if _NORM_TABLE_CACHE is None:
+        table: dict[int, int | None] = {}
+        for cp in range(0x10000):
+            c = chr(cp)
+            if _is_java_whitespace(c):
+                table[cp] = 0x20
+            elif not (_is_java_letter(c) or c.isdigit()):
+                table[cp] = None
+        _NORM_TABLE_CACHE = table
+    return _NORM_TABLE_CACHE
+
+
+# necessary-condition pre-check for the scrub rules: every rule's pattern
+# requires '@' (email), a digit (ssn/card/phone/ipv4), the literal "http"
+# (url), or a toxic word (case-insensitive).  If this single scan misses,
+# no rule can match and the 7 substitution passes are skipped.
+_SCRUB_QUICK = re.compile(r"[@0-9]|http|(?i:frak|gorram|smeg|felgercarb)")
 
 
 def _good_char_table() -> dict:
@@ -88,6 +155,9 @@ class FilterModel:
         ]
         self._live_pc_langs = [l for l in _PC_LANGS if vocab.get(l)]
         self._good_table = _good_char_table()
+        self._word_del = _word_filter_table()
+        self._pc_del = _pc_filter_table(tuple(self._live_pc_langs))
+        self._norm_table = _norm_filter_table()
 
     # -- construction --------------------------------------------------------
 
@@ -161,12 +231,18 @@ class FilterModel:
         terms: dict[str, list[float]] = {}
         gated: set[str] = set()
 
-        # word-wise languages: one generic tokenize, then per-token memo
+        # word-wise languages: one generic tokenize, then per-token memo.
+        # The BMP deletion table is C-speed; astral input (which the filter
+        # predicates classify as plain symbols) falls back to the per-char
+        # scan so semantics stay bit-identical.
         lowered = _java_strip(text).lower()
-        filtered = "".join(
-            ch for ch in lowered
-            if _is_java_letter(ch) or _is_java_whitespace(ch) or ch == "'"
-        )
+        if lowered and max(lowered) > "\uffff":
+            filtered = "".join(
+                ch for ch in lowered
+                if _is_java_letter(ch) or _is_java_whitespace(ch) or ch == "'"
+            )
+        else:
+            filtered = lowered.translate(self._word_del)
         for tok in _JAVA_SPLIT.split(filtered):
             if not tok:
                 continue
@@ -175,8 +251,9 @@ class FilterModel:
                 if in_vocab:
                     gated.add(lang)
 
-        # per-char languages: single char scan
-        for ch in text:
+        # per-char languages: pre-drop (C-speed) every char no live
+        # per-char alphabet accepts, then memo-scan the survivors
+        for ch in text.translate(self._pc_del):
             for lang, _low, score, in_vocab in self._char_entry(ch):
                 terms.setdefault(lang, []).append(score)
                 if in_vocab:
@@ -202,7 +279,12 @@ class FilterModel:
         table = self.tri_logprob.get(lang)
         if table is None:
             return 0.0
-        norm = TrigramModel._norm(text)
+        if text and max(text) > "\uffff":
+            norm = TrigramModel._norm(text)  # astral digits: oracle path
+        else:
+            norm = " ".join(
+                text.lower().translate(self._norm_table).split()
+            )
         if len(norm) < 3:
             return 0.0
         bo = self.tri_backoff[lang]
@@ -211,6 +293,8 @@ class FilterModel:
         return -math.fsum(ts) / len(ts)
 
     def scrub(self, text: str) -> str:
+        if _SCRUB_QUICK.search(text) is None:
+            return text
         for name, pat in self._scrub:
             text = pat.sub(f"<{name.upper()}>", text)
         return text
@@ -226,10 +310,7 @@ class FilterModel:
         tokens = text.lower().split()
         n_tokens = len(tokens)
         if n_tokens:
-            freq: dict[str, int] = {}
-            for t in tokens:
-                freq[t] = freq.get(t, 0) + 1
-            rep = max(freq.values()) / n_tokens
+            rep = max(Counter(tokens).values()) / n_tokens
         else:
             rep = 0.0
 
