@@ -2031,6 +2031,45 @@ GROUP BY event_type, q
 """
 
 
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — per-nation counts of a sparse customer subset vs a
+    sparse supplier subset, so both unmatched sides actually occur."""
+    c = (
+        _t(spark, sf_dir, "customer").filter("c_custkey % 5 = 0")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier").filter("s_suppkey % 7 = 0")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+FULL_OUTER_SQL = """
+WITH c AS (
+    SELECT c_nationkey AS nationkey, count(*) AS n_cust
+    FROM customer WHERE c_custkey % 5 = 0 GROUP BY 1
+),
+s AS (
+    SELECT s_nationkey AS nationkey, count(*) AS n_supp
+    FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract, END-TO-END under the DuckDB gate:
     synthesize the opaque-binary media table from documents (payload =
@@ -2142,6 +2181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_value_quartiles": ntile_value_quartiles,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
+    "full_outer_nation_counts": full_outer_nation_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2194,4 +2234,5 @@ ORACLE_SQL: dict[str, str] = {
     "ntile_value_quartiles": NTILE_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "full_outer_nation_counts": FULL_OUTER_SQL,
 }
