@@ -32,7 +32,10 @@ text_strategy = st.text(
         st.characters(max_codepoint=0x2FF),
         st.sampled_from(_QUIRKS),
         st.characters(min_codepoint=0x3000, max_codepoint=0x9FFF),
-        st.characters(min_codepoint=0x10000, max_codepoint=0x10400),  # astral
+        # astral, incl. Osmanya digits U+104A0-9: the one astral class the
+        # trigram _norm KEEPS (str.isdigit) while astral letters drop --
+        # exercises the kernel's BMP-table fallback paths
+        st.characters(min_codepoint=0x10000, max_codepoint=0x104B0),
     ),
     max_size=200,
 )
