@@ -39,19 +39,7 @@ def _adjust_group(
         vocab = dict(zip(words, scores))
     else:
         vocab = {}
-    adjusted = 0
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values("seq")  # event order within the key
-    for _, r in rows.iterrows():
-        tokens, total, n = list(r["tokens"]), float(r["total"]), int(r["n"])
-        for t in tokens:
-            if t not in vocab:
-                vocab[t] = 0.0  # induction init (Language.scala:62,192)
-        if n > ADJUST_THRESHOLD:  # Language.scala:255
-            mean = total / n
-            for t in tokens:
-                vocab[t] = (vocab[t] + mean) / 2.0
-                adjusted += 1
+    adjusted = _adjust_rows(vocab, pd.concat(list(pdfs), ignore_index=True))
     state.update((list(vocab.keys()), list(vocab.values())))
     yield pd.DataFrame(
         {"language": [key[0]], "vocab_size": [len(vocab)],
@@ -69,5 +57,82 @@ def online_mean_adjust(updates: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _adjust_rows(vocab: dict, rows: pd.DataFrame) -> int:
+    """The shared op-12 micro-batch fold (Language.scala:62,192,254-255):
+    seq-ordered induction inserts + mean-adjust when n > threshold."""
+    adjusted = 0
+    for _, r in rows.sort_values("seq").iterrows():
+        tokens, total, n = list(r["tokens"]), float(r["total"]), int(r["n"])
+        for t in tokens:
+            if t not in vocab:
+                vocab[t] = 0.0
+        if n > ADJUST_THRESHOLD:
+            mean = total / n
+            for t in tokens:
+                vocab[t] = (vocab[t] + mean) / 2.0
+                adjusted += 1
+    return adjusted
+
+
+def online_mean_adjust_tws(updates: DataFrame) -> DataFrame:
+    """Same operator on Spark 4.x's ``transformWithStateInPandas`` (the
+    successor API to applyInPandasWithState): state is a typed ValueState
+    holding the (words, scores) vocabulary; the fold logic is shared
+    (``_adjust_rows``) so semantics are identical by construction.
+
+    Requires ``google.protobuf`` (the TWS state-server protocol) and the
+    RocksDB state store provider; raises ImportError with guidance when the
+    protocol dependency is absent (it is not shipped in every environment —
+    the applyInPandasWithState variant above has no such dependency)."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS state protocol dep)
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package for its "
+            "state-server protocol (pip install protobuf) plus "
+            "spark.sql.streaming.stateStore.providerClass="
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider; use online_mean_adjust "
+            "(applyInPandasWithState) where protobuf is unavailable"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class MeanAdjustProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("vocab", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                words, scores = self._state.get()
+                vocab = dict(zip(words, scores))
+            else:
+                vocab = {}
+            pdfs = list(rows)
+            adjusted = (
+                _adjust_rows(vocab, pd.concat(pdfs, ignore_index=True))
+                if pdfs else 0
+            )
+            self._state.update((list(vocab.keys()), list(vocab.values())))
+            yield pd.DataFrame(
+                {"language": [key[0]], "vocab_size": [len(vocab)],
+                 "adjusted": [adjusted]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        updates.groupBy("language")
+        .transformWithStateInPandas(
+            statefulProcessor=MeanAdjustProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )
