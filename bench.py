@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "pipeline_scrub",
     "embedding_topk",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "50000"))
