@@ -118,35 +118,61 @@ def dedup_ngram_jaccard_df(docs: DataFrame, threshold: float = 0.5,
     return _verify_jaccard(pairs, sh, threshold)
 
 
+def minhash_signatures_df(docs: DataFrame, k: int = MINHASH_K,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Row-local MinHash signatures over Arrow batches — MAP-ONLY.
+
+    Computes exactly the same signature as the relational pipeline this
+    replaced (h_i(doc) = min over distinct 3-word shingles of
+    md5('<i>:<shingle>') as a hex string, concatenated i = 0..k-1): the
+    per-(shingle, i) md5 and the min are row-local by construction, so a
+    kernel pass eliminates the k-way crossJoin explosion plus two shuffled
+    aggregations the relational form paid.  Docs with no shingles (< 3
+    tokens) emit an empty sig and must be filtered before banding, matching
+    the relational form where such docs simply had no rows."""
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        prefixes = [f"{i}:".encode() for i in range(k)]
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text if isinstance(text, str) else "").split(" ")
+                if len(toks) >= 3:
+                    shingles = {
+                        " ".join(toks[i:i + 3]).encode()
+                        for i in range(len(toks) - 2)
+                    }
+                    sig = "".join(
+                        min(hashlib.md5(p + s).hexdigest() for s in shingles)
+                        for p in prefixes
+                    )
+                else:
+                    sig = ""
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return docs.mapInPandas(run, "doc_id long, sig string")
+
+
 def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
                          k: int = MINHASH_K, bands: int = MINHASH_BANDS,
                          rows: int = MINHASH_ROWS) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
 
     h_i(doc) = min over shingles of md5('<i>:<shingle>') compared as hex
-    strings -- portable to any engine with md5().  Band key = concat of the
-    band's R min-hashes; only same-band pairs are shuffled."""
+    strings -- portable to any engine with md5(), so the whole pipeline is
+    DuckDB-oracle-checkable.  Signatures are computed map-only
+    (minhash_signatures_df); band key = concat of the band's R min-hashes;
+    only same-band pairs are shuffled."""
     sh = shingle_df(docs)
     spark = docs.sparkSession
-    hashes = spark.range(k).select(F.col("id").cast("int").alias("i"))
-    minh = (
-        sh.crossJoin(F.broadcast(hashes))
-        .select(
-            "doc_id", "i",
-            F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("hmin"))
-    )
-    sig = minh.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "hmin"))),
-                lambda s: s["hmin"],
-            ),
-        ).alias("sig")
-    )
+    sig = minhash_signatures_df(docs, k).filter("sig <> ''")
     band_ids = spark.range(bands).select(F.col("id").cast("int").alias("b"))
     banded = sig.crossJoin(F.broadcast(band_ids)).select(
         "doc_id", "b",
