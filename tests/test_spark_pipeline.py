@@ -115,3 +115,44 @@ def test_kept_turns_projection(spark, fixture_dir, filter_model):
     n_kept = kept.count()
     n_all = df.count()
     assert 0 < n_kept < n_all
+
+
+def test_conv_report_equals_window_reference(spark, fixture_dir,
+                                             filter_model):
+    """conv_report's skew-immune min-of-struct dominant-language agg must
+    equal the straightforward row_number() window formulation."""
+    from pyspark.sql import Window as W, functions as F
+
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import (
+        conv_report, quality_filter,
+    )
+
+    df = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    bc = broadcast_model(spark, filter_model)
+    decided = quality_filter(df, bc).cache()
+    got = {r["conv_id"]: r for r in conv_report(decided).collect()}
+
+    w = W.partitionBy("conv_id").orderBy(
+        F.desc("lang_conf"), F.asc("lang"), F.asc("turn_idx")
+    )
+    ref_top = {
+        r["conv_id"]: r["lang"]
+        for r in decided.filter("lang IS NOT NULL")
+        .withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    ref_counts = {
+        r["conv_id"]: r
+        for r in decided.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        ).collect()
+    }
+    decided.unpersist()
+    assert set(got) == set(ref_counts)
+    for conv_id, r in got.items():
+        assert r["n_turns"] == ref_counts[conv_id]["n_turns"]
+        assert r["n_kept"] == ref_counts[conv_id]["n_kept"]
+        assert r["top_lang"] == ref_top.get(conv_id)
+    # sanity: the fixture corpus has at least one dominant language
+    assert any(r["top_lang"] is not None for r in got.values())
