@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--run-id", default="r1")
     p.add_argument("--master", default=None)
+    p.add_argument("--conv-report", default=None,
+                   help="also write the conversation-level rollup (keep "
+                        "rate, dominant language, mean perplexity per "
+                        "conv_id) to this parquet path, computed from the "
+                        "completed per-turn output")
     p.add_argument("--fail-after", type=int, default=None,
                    help="TESTING: raise after N buckets to exercise resume")
     args = p.parse_args(argv)
@@ -90,8 +95,19 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         extra_lineage={"model_fingerprint": fp, "input_path": args.input},
     )
-    print(json.dumps({"run_id": args.run_id, "processed_buckets": processed,
-                      "model_fingerprint": fp}))
+    n_convs = None
+    if args.conv_report:
+        from ..operators.quality_filter import conv_report
+
+        decided = spark.read.parquet(f"{args.output}/*")
+        report = conv_report(decided)
+        report.write.parquet(args.conv_report, mode="overwrite")
+        n_convs = spark.read.parquet(args.conv_report).count()
+    out = {"run_id": args.run_id, "processed_buckets": processed,
+           "model_fingerprint": fp}
+    if n_convs is not None:
+        out["conv_report_rows"] = n_convs
+    print(json.dumps(out))
     spark.stop()
     return 0
 
