@@ -1812,38 +1812,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the embeddings table's `label` column serves as the
     coarse quantizer's precomputed cell assignment (inverted-file lists =
     partitions by label); search only the query's own cell.  At scale the
-    cell assignment comes from a trained coarse codebook; the Spark shape
-    (per-cell broadcast join instead of all-pairs) is identical."""
-    from .operators.similarity import _with_norm
+    cell assignment comes from a trained coarse codebook
+    (operators/similarity.py::assign_cells_df); the Spark shape (per-cell
+    broadcast join instead of all-pairs) is identical and recall ≥ 0.9 is
+    test-pinned on clustered data (on THIS isotropic fixture recall is
+    necessarily the scanned fraction — no structure to exploit)."""
+    from .operators.similarity import ann_ivf_topk_df
 
     e = _t(spark, sf_dir, "embeddings")
-    base = _with_norm(e, "embedding").select(
-        F.col("vec_id").alias("neighbor_id"), "label", "_emb", "_nrm"
-    )
-    q = _with_norm(e.filter("vec_id < 20"), "embedding").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("_emb").alias("_qemb"),
-        F.col("_nrm").alias("_qnrm"),
-    )
-    pairs = base.join(
-        F.broadcast(q),
-        (F.col("label") == F.col("qlabel"))
-        & (F.col("neighbor_id") != F.col("query_id")),
-    )
-    dot = F.aggregate(
-        F.zip_with("_emb", "_qemb", lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    sim = (dot / (F.col("_nrm") * F.col("_qnrm"))).alias("sim_raw")
-    w = W.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
-    return (
-        pairs.select("query_id", "neighbor_id", sim)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter("rank <= 3")
-        .select("query_id", "neighbor_id",
-                F.round("sim_raw", 4).alias("sim"), "rank")
-    )
+    return ann_ivf_topk_df(e, e.filter("vec_id < 20"), k=3,
+                           cell_col="label")
 
 
 ANN_IVF_SQL = """

@@ -106,6 +106,78 @@ def ann_bucketed_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+def ann_ivf_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    cell_col: str = "cell") -> DataFrame:
+    """IVF-style ANN: top-k cosine within the query's coarse cell
+    (inverted-file lists = the ``cell_col`` partitioning; search only the
+    query's own cell via a broadcast equi-join instead of all-pairs).
+
+    Recall depends entirely on the cell assignment capturing geometric
+    structure: with nearest-centroid cells on clustered data recall is
+    test-pinned ≥ 0.9 (`test_ann_ivf_recall_on_clustered_data`), while on
+    isotropic data ANY sublinear ANN's expected recall collapses to the
+    scanned fraction (~1/n_cells) — there is no structure to exploit."""
+    base = _with_norm(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("_cell"), "_emb", "_nrm",
+    )
+    q = _with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("_qcell"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("_cell") == F.col("_qcell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with("_emb", "_qemb", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("_nrm") * F.col("_qnrm"))).alias("sim_raw")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim_raw"),
+                                          F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def assign_cells_df(df: DataFrame, centroids: list[list[float]],
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    cell_col: str = "cell") -> DataFrame:
+    """Coarse quantizer: assign each row to its max-cosine centroid
+    (numpy over Arrow batches, centroid matrix captured in the closure —
+    tiny, so closure serialization is the broadcast).  Deterministic
+    ties: lowest centroid index wins (np.argmax)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        for pdf in batches:
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[emb_col]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            cells = (Xn @ C.T).argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], cell_col: cells.astype("int32"),
+            })
+
+    out_schema = f"{id_col} long, {cell_col} int"
+    assigned = df.select(id_col, emb_col).mapInPandas(run, out_schema)
+    return df.join(assigned, id_col)
+
+
 def dedup_embedding_cosine_df(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               emb_col: str = "embedding",

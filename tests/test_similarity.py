@@ -1,0 +1,92 @@
+"""ANN quality tests: the IVF operator must achieve high recall when the
+cell assignment captures real geometric structure, and the isotropic-data
+recall floor (scanned fraction) is documented behavior, not a bug.
+
+The driver's embeddings fixture is isotropic noise (measured: same-label and
+cross-label mean cosine both ~0.000, true-NN shares label at chance), so the
+contract queries over it only pin Spark ≡ DuckDB on the ALGORITHM; quality
+is pinned here on planted clusters instead.
+"""
+
+import numpy as np
+import pytest
+
+
+def _clustered(n_clusters=10, per_cluster=30, dim=32, noise=0.15, seed=7):
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(n_clusters, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X, cells = [], []
+    for c in range(n_clusters):
+        pts = C[c] + noise * rng.normal(size=(per_cluster, dim))
+        X.append(pts)
+        cells += [c] * per_cluster
+    return np.vstack(X), np.array(cells), C
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    X, cells, C = _clustered()
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, C, X
+
+
+def test_assign_cells_recovers_planted_clusters(clustered_df):
+    from languagedetection_spark.operators.similarity import assign_cells_df
+
+    df, C, X = clustered_df
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_df(df, [list(c) for c in C]).collect()
+    }
+    # noise = 0.15 around unit-norm centroids -> assignment is clean
+    true_cells = np.repeat(np.arange(10), 30)
+    agree = sum(assigned[i] == true_cells[i] for i in range(len(X)))
+    assert agree / len(X) >= 0.99
+
+
+def test_ann_ivf_recall_on_clustered_data(clustered_df):
+    """Nearest-centroid cells + per-cell search -> recall >= 0.9 of the
+    exact top-3, at ~1/10th the pairwise work."""
+    from languagedetection_spark.operators.similarity import (
+        ann_ivf_topk_df, assign_cells_df, cosine_topk_df,
+    )
+
+    df, C, X = clustered_df
+    celled = assign_cells_df(df, [list(c) for c in C]).cache()
+    queries = celled.filter("vec_id % 15 = 0")
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_df(df, queries.select("vec_id", "embedding"),
+                                     k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_ivf_topk_df(celled, queries, k=3).collect()}
+    celled.unpersist()
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ann_isotropic_recall_floor(spark):
+    """On isotropic data the IVF recall ~= scanned fraction (1/n_cells):
+    the documented floor for ANY sublinear ANN without structure."""
+    from languagedetection_spark.operators.similarity import (
+        ann_ivf_topk_df, cosine_topk_df,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 32))
+    rows = [(i, [float(v) for v in X[i]], int(i % 10))
+            for i in range(len(X))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    ).cache()
+    queries = df.filter("vec_id < 20")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_df(df, queries.select("vec_id", "embedding"),
+                                     k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_ivf_topk_df(df, queries, k=3).collect()}
+    df.unpersist()
+    recall = len(exact & approx) / len(exact)
+    assert recall < 0.4  # ~0.1 expected; far from clustered-data quality
