@@ -60,10 +60,12 @@ def cosine_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
-def bucket_code(emb_col: str = "embedding", n_bits: int = 8):
-    """Sign-LSH code: bit i = (embedding[i] > 0)."""
+def bucket_code(emb_col: str = "embedding", n_bits: int = 8,
+                offset: int = 0):
+    """Sign-LSH code: bit i = (embedding[offset + i] > 0)."""
     bits = [
-        F.when(F.element_at(F.col(emb_col), i + 1) > 0, 1 << i).otherwise(0)
+        F.when(F.element_at(F.col(emb_col), offset + i + 1) > 0,
+               1 << i).otherwise(0)
         for i in range(n_bits)
     ]
     code = bits[0]
@@ -74,21 +76,35 @@ def bucket_code(emb_col: str = "embedding", n_bits: int = 8):
 
 def ann_bucketed_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
                          id_col: str = "vec_id", emb_col: str = "embedding",
-                         n_bits: int = 8) -> DataFrame:
-    """Top-k cosine within the query's sign-LSH bucket."""
+                         n_bits: int = 8, n_tables: int = 1) -> DataFrame:
+    """Top-k cosine among sign-LSH bucket candidates.
+
+    ``n_tables`` > 1 is the standard recall lever: table t hashes dims
+    [t*n_bits, (t+1)*n_bits) and candidates are the UNION over tables (a
+    near neighbor only needs to agree on ONE table's sign pattern to be
+    found).  Requires dim >= n_bits * n_tables.  Candidate pairs found by
+    several tables are deduplicated before ranking, so n_tables=1
+    reproduces the single-table results exactly."""
+    codes = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 bucket_code(emb_col, n_bits, t * n_bits).alias("c"))
+        for t in range(n_tables)
+    ])
     base = _with_norm(df, emb_col).select(
         F.col(id_col).alias("neighbor_id"), "_emb", "_nrm",
-        bucket_code(emb_col, n_bits).alias("code"),
+        F.explode(codes).alias("code"),
     )
     q = _with_norm(queries, emb_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_emb").alias("_qemb"),
         F.col("_nrm").alias("_qnrm"),
-        bucket_code(emb_col, n_bits).alias("code"),
+        F.explode(codes).alias("code"),
     )
     pairs = base.join(F.broadcast(q), "code").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    if n_tables > 1:  # same pair may surface from several tables
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
     dot = F.aggregate(
         F.zip_with("_emb", "_qemb", lambda a, b: a * b),
         F.lit(0.0),
