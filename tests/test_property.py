@@ -66,6 +66,51 @@ def test_tokenizer_never_crashes_and_gates(text, lang):
         assert t == t.lower() or lang not in LANGUAGES  # lowered
 
 
+# PII-shaped fuzz: dense digits/@/separators embedded in word noise — the
+# inputs that exercise the scrub rules (and the kernel's quick-scan fast
+# path, which must never skip a text any rule would have matched)
+_pii_fragment = st.one_of(
+    st.from_regex(r"[A-Za-z0-9._%+-]{1,8}@[A-Za-z0-9.-]{1,8}\.[A-Za-z]{2,4}",
+                  fullmatch=True),
+    st.from_regex(r"[0-9]{3}-[0-9]{2}-[0-9]{4}", fullmatch=True),
+    st.from_regex(r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}",
+                  fullmatch=True),
+    st.from_regex(r"\+?[0-9]{1,3}[ -.]?\(?[0-9]{3}\)?[ -.][0-9]{3}[ -.][0-9]{4}",
+                  fullmatch=True),
+    st.from_regex(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+                  fullmatch=True),
+    st.from_regex(r"https?://[a-z0-9./?=&-]{1,20}", fullmatch=True),
+    st.sampled_from(["frak", "GORRAM", "smeg", "Felgercarb", "frakking",
+                     "123", "a@b", "http", "...", "---"]),
+)
+pii_text_strategy = st.lists(
+    st.one_of(_pii_fragment, st.text(alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x7E), max_size=12)),
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(text=pii_text_strategy)
+def test_kernel_scrub_equals_oracle_on_pii_shapes(text, model_pair):
+    from languagedetection_spark.refmodel.quality import scrub_text
+
+    _v, _tm, kernel = model_pair
+    assert kernel.scrub(text) == scrub_text(text)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(text=pii_text_strategy)
+def test_kernel_decide_equals_oracle_on_pii_shapes(text, model_pair):
+    v, tm, kernel = model_pair
+    gold = decide_turn(text, v, tm)
+    lang, conf, ppl, keep, drop, scrubbed = kernel.decide(text)
+    assert (lang, conf, ppl, keep, drop, scrubbed) == (
+        gold.lang, gold.lang_conf, gold.ppl, gold.keep, gold.drop_reason,
+        gold.scrubbed_text,
+    )
+
+
 @settings(max_examples=200, deadline=None, derandomize=True)
 @given(text=text_strategy)
 def test_frozen_scoring_never_mutates(text, model_pair):
