@@ -1179,6 +1179,59 @@ FROM (
 """
 
 
+def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (the recall lever over the single-table
+    `ann_bucketed_topk`): 8 tables × 4 bits over disjoint dim ranges,
+    candidates = union over tables, deduplicated, exact-cosine ranked.
+    On clustered data this configuration is test-pinned at 0.97 recall
+    (tests/test_similarity.py)."""
+    from .operators.similarity import ann_bucketed_topk_df
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_bucketed_topk_df(e, e.filter("vec_id < 20"), k=3,
+                                n_bits=4, n_tables=8)
+
+
+def _lsh_code_sql(offset: int, n_bits: int) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN embedding[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_bits)
+    ) + ")"
+
+
+_ANN_MT_CODES = "\nUNION ALL\n".join(
+    f"    SELECT vec_id, {t} AS t, {_lsh_code_sql(t * 4, 4)} AS c"
+    f" FROM embeddings"
+    for t in range(8)
+)
+
+ANN_MULTITABLE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+codes AS (
+{_ANN_MT_CODES}
+),
+q AS (SELECT vec_id AS query_id, t, c FROM codes WHERE vec_id < 20),
+cand AS (
+    SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+    FROM q JOIN codes b ON b.t = q.t AND b.c = q.c
+                       AND b.vec_id <> q.query_id
+),
+pairs AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_cosine_similarity(eq.emb, en.emb) AS sim_raw
+    FROM cand c
+    JOIN e eq ON eq.vec_id = c.query_id
+    JOIN e en ON en.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import dedup_embedding_cosine_df
 
@@ -2160,6 +2213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
     "full_outer_nation_counts": full_outer_nation_counts,
+    "ann_multitable_topk": ann_multitable_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2213,4 +2267,5 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "full_outer_nation_counts": FULL_OUTER_SQL,
+    "ann_multitable_topk": ANN_MULTITABLE_SQL,
 }
