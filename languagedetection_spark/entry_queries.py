@@ -1467,7 +1467,8 @@ LANGID_FASTTEXT_SQL = f"""
 WITH dim AS (SELECT * FROM {_dim_values_sql()}),
 docs AS (
     SELECT doc_id, lang, source,
-           lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS t
+           lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+               AS t
     FROM documents
 ),
 labeled AS (
@@ -1515,13 +1516,16 @@ pcw AS (
     FROM per_lang WINDOW w AS (PARTITION BY doc_id
                                ORDER BY pc DESC, language)
 )
-SELECT p.doc_id,
-       p.language AS ft_lang, round(p.mean_logp, 6) AS ft_score,
+SELECT d.doc_id,
+       p.language AS ft_lang,
+       round(coalesce(p.mean_logp, 0.0), 6) AS ft_score,
        round(coalesce(p.margin, 0.0), 6) AS ft_margin,
-       q.language AS ft_lang_pc, round(q.pc, 6) AS ft_score_pc,
+       q.language AS ft_lang_pc,
+       round(coalesce(q.pc, 0.0), 6) AS ft_score_pc,
        round(coalesce(q.margin, 0.0), 6) AS ft_margin_pc
-FROM (SELECT * FROM plain WHERE rn = 1) p
-JOIN (SELECT * FROM pcw WHERE rn = 1) q ON p.doc_id = q.doc_id
+FROM docs d
+LEFT JOIN (SELECT * FROM plain WHERE rn = 1) p ON d.doc_id = p.doc_id
+LEFT JOIN (SELECT * FROM pcw WHERE rn = 1) q ON d.doc_id = q.doc_id
 """
 
 
@@ -2126,13 +2130,13 @@ MULTIMODAL_DECODE_SQL = """
 SELECT doc_id,
        list_extract(['image', 'audio', 'video'],
                     CAST(doc_id % 3 AS INTEGER) + 1) AS modality,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       round((length(text) - length(replace(text, ' ', '')))
-             / CAST(length(text) AS DOUBLE), 6) AS f_space,
-       round(length(regexp_replace(text, '[^a-o]', '', 'g'))
-             / CAST(length(text) AS DOUBLE), 6) AS f_ao,
-       round(length(regexp_replace(text, '[^p-z]', '', 'g'))
-             / CAST(length(text) AS DOUBLE), 6) AS f_pz
+       CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+       round(coalesce((length(text) - length(replace(text, ' ', '')))
+             / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) AS f_space,
+       round(coalesce(length(regexp_replace(text, '[^a-o]', '', 'g'))
+             / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) AS f_ao,
+       round(coalesce(length(regexp_replace(text, '[^p-z]', '', 'g'))
+             / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) AS f_pz
 FROM documents
 """
 

@@ -97,12 +97,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     n_convs = None
     if args.conv_report:
+        import glob as _glob
+
         from ..operators.quality_filter import conv_report
 
-        decided = spark.read.parquet(f"{args.output}/*")
-        report = conv_report(decided)
-        report.write.parquet(args.conv_report, mode="overwrite")
-        n_convs = spark.read.parquet(args.conv_report).count()
+        # glob the actual bucket layout, NOT the whole output dir -- a bare
+        # {output}/* would ingest any sidecar written under it (e.g. a past
+        # --conv-report target) and corrupt the rollup
+        bucket_dirs = sorted(_glob.glob(f"{args.output}/bucket=*"))
+        if bucket_dirs:
+            decided = spark.read.parquet(f"{args.output}/bucket=*")
+            report = conv_report(decided)
+            report.write.parquet(args.conv_report, mode="overwrite")
+            n_convs = spark.read.parquet(args.conv_report).count()
+        else:
+            print(f"conv-report skipped: no completed buckets under "
+                  f"{args.output}", file=sys.stderr)
     out = {"run_id": args.run_id, "processed_buckets": processed,
            "model_fingerprint": fp}
     if n_convs is not None:

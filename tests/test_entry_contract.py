@@ -58,6 +58,60 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
 
 
+def test_fixture_text_domain_precondition():
+    """The driver fixtures' documents.text is [a-z ]-only with no NULLs and
+    no degenerate rows at every sf.  SQL oracles that normalize whitespace
+    (LANGID_FASTTEXT_SQL) rely on ASCII text; a fixture change that
+    introduces exotic unicode whitespace must fail HERE, loudly, instead of
+    silently diverging from Python's str.split() semantics."""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        bad, nulls, short = con.execute(
+            f"""SELECT
+                count(*) FILTER (WHERE NOT regexp_full_match(text, '[a-z ]*')),
+                count(*) FILTER (WHERE text IS NULL),
+                count(*) FILTER (WHERE length(trim(text)) < 2)
+            FROM '/root/testdata/{sf}/documents.parquet'"""
+        ).fetchone()
+        assert (bad, nulls, short) == (0, 0, 0), sf
+
+
+def test_oracle_edge_documents(spark, tmp_path):
+    """Gram-less / empty / NULL / whitespace-heavy docs: the Spark kernels
+    and their DuckDB SQL twins must agree even off the fixture domain
+    (round-1 ADVICE: these used to be fixture-pinned latent gaps)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, "en", "src0", "the quick brown fox jumps over the lazy dog"),
+        (1, "de", "src0", "der schnelle braune fuchs springt darueber"),
+        (2, "en", "src1", ""),                      # gram-less: empty
+        (3, "en", "src1", "a"),                     # gram-less: one char
+        (4, "en", "src1", "  the\tquick\n fox  "),  # exotic whitespace
+        (5, "en", "src1", None),                    # NULL text
+        (6, "en", "src1", "the quick brown fox"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": [r[1] for r in rows],
+        "source": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for name in ("langid_fasttext", "multimodal_decode"):
+        df = entry_mod.queries()[name](spark, str(tmp_path))
+        s_cols, s_rows = _norm(df.columns, [tuple(r) for r in df.collect()])
+        res = con.execute(entry_mod.oracle_sql()[name])
+        d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
+        assert s_cols == d_cols, name
+        assert s_rows == d_rows, name
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_matches_oracle(name, spark, duck):
     fn = entry_mod.queries()[name]
