@@ -1042,9 +1042,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SQL = (
     _NEARDUP_SQL_CTE
     + """
-, pairs AS (
+, stopfree AS (  -- the operator's default stop-shingle guard (cap 128)
+    SELECT doc_id, shingle FROM shingles
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= 128
+),
+pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    FROM stopfree a JOIN stopfree b ON a.shingle = b.shingle
     WHERE a.doc_id < b.doc_id
 ),
 inter AS (

@@ -91,12 +91,23 @@ def _verify_jaccard(pairs: DataFrame, shingles: DataFrame,
     )
 
 
+MAX_SHINGLE_FREQ_DEFAULT = 128
+
+
 def dedup_ngram_jaccard_df(docs: DataFrame, threshold: float = 0.5,
-                           max_shingle_freq: int | None = None) -> DataFrame:
+                           max_shingle_freq: int | None =
+                           MAX_SHINGLE_FREQ_DEFAULT) -> DataFrame:
     """Exact near-dup pairs by shingle Jaccard.  ``max_shingle_freq`` drops
     shingles shared by more than that many docs from CANDIDATE GENERATION
     only (verification still uses all shingles), the standard guard against
-    quadratic blowup on stop-shingles at scale."""
+    quadratic blowup on stop-shingles at scale.
+
+    The guard is ON BY DEFAULT (cap 128): a shingle shared by f docs emits
+    O(f^2) candidate pairs, so one boilerplate phrase repeated across a
+    100 TB corpus would otherwise dominate the join.  Pairs whose ONLY
+    shared shingles are ultra-frequent are missed by design (they are
+    boilerplate matches, not near-duplicates); pass ``None`` to disable
+    for exhaustive small-corpus runs."""
     sh = shingle_df(docs)
     cand_src = sh
     if max_shingle_freq is not None:
