@@ -1078,17 +1078,21 @@ DEDUP_MINHASH_SQL = (
     _NEARDUP_SQL_CTE
     + """
 , minh AS (
-    SELECT s.doc_id, i.i, min(md5(i.i || ':' || s.shingle)) AS hmin
+    -- exact twin of minhash_signatures_df: base = lower 64 bits of md5
+    -- (md5_number_lower == int.from_bytes(digest[8:], 'little')), then
+    -- h_i = (A_i * (base mod P) + B_i) mod P with P = 2^31 - 1 and
+    -- A_i = 1000003*(i+1) mod P, B_i = 999983*i + 12345 mod P
+    SELECT s.doc_id, i.i,
+           min((CAST((1000003 * (i.i + 1)) % 2147483647 AS BIGINT)
+                * CAST(md5_number_lower(s.shingle) % 2147483647 AS BIGINT)
+                + (999983 * i.i + 12345) % 2147483647) % 2147483647) AS hmin
     FROM shingles s, (SELECT unnest(generate_series(0, 11)) AS i) i
     GROUP BY s.doc_id, i.i
 ),
-sig AS (
-    SELECT doc_id, string_agg(hmin, '' ORDER BY i) AS sig FROM minh
-    GROUP BY doc_id
-),
 banded AS (
-    SELECT doc_id, b.b, substring(sig, b.b * 128 + 1, 128) AS key
-    FROM sig, (SELECT unnest(generate_series(0, 2)) AS b) b
+    SELECT doc_id, CAST(i // 4 AS INT) AS b,
+           string_agg(hmin::VARCHAR, '_' ORDER BY i) AS key
+    FROM minh GROUP BY doc_id, i // 4
 ),
 pairs AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

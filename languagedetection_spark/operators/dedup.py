@@ -9,10 +9,12 @@ a DuckDB oracle can reproduce them bit-for-bit):
                     shingle).  At 100 TB, prune ultra-frequent shingles
                     (they generate quadratic candidates) before the join;
                     the operator takes ``max_shingle_freq`` for that.
-* minhash_lsh    -- K min-hashes (lexicographic min of md5(i:shingle)),
-                    banded into B bands of R rows; docs sharing a band key
-                    are candidates, then verified with exact Jaccard.
-                    Shuffles only candidate pairs, not the cross product.
+* minhash_lsh    -- K min-hashes from ONE md5 per shingle (affine family
+                    over the digest's lower 64 bits, = DuckDB's
+                    md5_number_lower), banded into B bands of R rows; docs
+                    sharing a band key are candidates, then verified with
+                    exact Jaccard.  Shuffles only candidate pairs, not the
+                    cross product.
 * simhash        -- 60-bit SimHash computed ROW-LOCALLY inside an Arrow
                     batch (no shingle explode -- the whole signature is one
                     map), banded on 15-bit slices, verified by hamming
@@ -129,26 +131,47 @@ def dedup_ngram_jaccard_df(docs: DataFrame, threshold: float = 0.5,
     return _verify_jaccard(pairs, sh, threshold)
 
 
+# one-md5-per-shingle universal-hash family: base hash m(shingle) is the
+# LOWER 64 bits of md5 (little-endian digest bytes 8..15 -- exactly DuckDB's
+# md5_number_lower, so the oracle reproduces every value), then k affine
+# permutation approximations h_i = (A_i * (m mod P) + B_i) mod P over the
+# Mersenne prime P = 2^31 - 1.  A_i/B_i are tiny closed-form constants so
+# the SQL twin can regenerate them from i alone.
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _minhash_coeffs(k: int):
+    import numpy as np
+
+    i = np.arange(k, dtype=np.uint64)
+    a = (np.uint64(1000003) * (i + np.uint64(1))) % np.uint64(MINHASH_P)
+    b = (np.uint64(999983) * i + np.uint64(12345)) % np.uint64(MINHASH_P)
+    return a, b
+
+
 def minhash_signatures_df(docs: DataFrame, k: int = MINHASH_K,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Row-local MinHash signatures over Arrow batches — MAP-ONLY.
 
-    Computes exactly the same signature as the relational pipeline this
-    replaced (h_i(doc) = min over distinct 3-word shingles of
-    md5('<i>:<shingle>') as a hex string, concatenated i = 0..k-1): the
-    per-(shingle, i) md5 and the min are row-local by construction, so a
-    kernel pass eliminates the k-way crossJoin explosion plus two shuffled
-    aggregations the relational form paid.  Docs with no shingles (< 3
-    tokens) emit an empty sig and must be filtered before banding, matching
-    the relational form where such docs simply had no rows."""
+    ONE md5 per distinct 3-word shingle (the round-1 form paid k=12 md5s
+    per shingle -- the measured hot spot of the whole dedup family); the k
+    min-hashes come from a vectorized affine family over the digest:
+    h_i = (A_i * (md5_lower64 mod P) + B_i) mod P, P = 2^31 - 1.  Every
+    value is bit-reproducible in DuckDB via md5_number_lower (oracle:
+    DEDUP_MINHASH_SQL).  Docs with no shingles (< 3 tokens) emit an empty
+    sig array and must be filtered before banding."""
 
     def run(batches):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
-        prefixes = [f"{i}:".encode() for i in range(k)]
+        a, b = _minhash_coeffs(k)
+        a2, b2 = a[:, None], b[:, None]
+        p = np.uint64(MINHASH_P)
+        empty: list = []
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -158,17 +181,22 @@ def minhash_signatures_df(docs: DataFrame, k: int = MINHASH_K,
                         " ".join(toks[i:i + 3]).encode()
                         for i in range(len(toks) - 2)
                     }
-                    sig = "".join(
-                        min(hashlib.md5(p + s).hexdigest() for s in shingles)
-                        for p in prefixes
+                    ms = np.fromiter(
+                        (int.from_bytes(
+                            hashlib.md5(s).digest()[8:], "little")
+                         for s in shingles),
+                        dtype=np.uint64, count=len(shingles),
                     )
+                    # a,r < 2^31 so a*r + b < 2^62: exact in uint64
+                    h = (a2 * (ms % p)[None, :] + b2) % p
+                    sig = h.min(axis=1).astype(np.int64).tolist()
                 else:
-                    sig = ""
+                    sig = empty
                 ids.append(doc_id)
                 sigs.append(sig)
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return docs.mapInPandas(run, "doc_id long, sig string")
+    return docs.mapInPandas(run, "doc_id long, sig array<long>")
 
 
 def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
@@ -176,18 +204,19 @@ def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
                          rows: int = MINHASH_ROWS) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
 
-    h_i(doc) = min over shingles of md5('<i>:<shingle>') compared as hex
-    strings -- portable to any engine with md5(), so the whole pipeline is
-    DuckDB-oracle-checkable.  Signatures are computed map-only
-    (minhash_signatures_df); band key = concat of the band's R min-hashes;
-    only same-band pairs are shuffled."""
+    h_i(doc) = min over shingles of an affine family over the shingle's
+    lower-64-bit md5 (see minhash_signatures_df) -- portable to any engine
+    with md5, so the whole pipeline is DuckDB-oracle-checkable.  Signatures
+    are computed map-only; band key = '_'-joined decimal min-hashes of the
+    band's R rows; only same-band pairs are shuffled."""
     sh = shingle_df(docs)
     spark = docs.sparkSession
-    sig = minhash_signatures_df(docs, k).filter("sig <> ''")
+    sig = minhash_signatures_df(docs, k).filter(F.size("sig") > 0)
     band_ids = spark.range(bands).select(F.col("id").cast("int").alias("b"))
     banded = sig.crossJoin(F.broadcast(band_ids)).select(
         "doc_id", "b",
-        F.expr(f"substring(sig, b * {rows * 32} + 1, {rows * 32})").alias("key"),
+        F.expr(f"concat_ws('_', slice(sig, b * {rows} + 1, {rows}))")
+        .alias("key"),
     )
     left = banded.select("b", "key", F.col("doc_id").alias("doc_a"))
     right = banded.select("b", "key", F.col("doc_id").alias("doc_b"))
@@ -213,6 +242,8 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
         import numpy as np
         import pandas as pd
 
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
         for pdf in batches:
             fps = []
             for text in pdf[text_col]:
@@ -223,13 +254,17 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
                 if not shingles:
                     fps.append(0)
                     continue
-                acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-                for s in shingles:
-                    h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                    bits = (h >> np.arange(SIMHASH_BITS)) & 1
-                    acc += 2 * bits - 1
-                fp = int(((acc > 0).astype(np.int64)
-                          << np.arange(SIMHASH_BITS)).sum())
+                # one md5 per shingle, then ONE vectorized (n, 60) bit
+                # matrix: sum(2b-1) = 2*sum(b) - n per bit position
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                     for s in shingles),
+                    dtype=np.uint64, count=len(shingles),
+                )
+                ones = ((hs[:, None] >> shifts[None, :])
+                        & np.uint64(1)).sum(axis=0).astype(np.int64)
+                acc = 2 * ones - np.int64(len(shingles))
+                fp = int(((acc > 0) * weights).sum())
                 fps.append(fp)
             yield pd.DataFrame({"doc_id": pdf[id_col], "fp": fps})
 
