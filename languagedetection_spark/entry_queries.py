@@ -1539,27 +1539,29 @@ LEFT JOIN (SELECT * FROM pcw WHERE rn = 1) q ON d.doc_id = q.doc_id
 
 def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-12 (Language.scala:254-255,361): the order-sensitive online
-    mean-adjust fold.  Inherently sequential (each classification mutates
-    the vocabulary the next one reads -- SURVEY §3 EP-2), so the fold runs
-    once over the ordered unlabeled stream and Spark serves the frozen
-    result; there is no SQL oracle (driver records rows-only)."""
-    from .refmodel.classifier import Vocabulary
+    mean-adjust fold, via ``train_fold_streamed`` -- axioms built with a
+    distributed explode/distinct, unlabeled texts streamed through the
+    driver one partition at a time, micro-batches classified in parallel
+    against the batch-start snapshot, and updates (model-sized state only)
+    applied in sample order with staleness replay.  Bit-identical to the
+    pure sequential reference fold at any batch size; no full-table
+    ``collect`` anywhere.
+
+    The oracle is the GOLDEN output of the pure-Python reference fold
+    (fixtures/fold_goldens.py, regenerated by tools/gen_fold_goldens.py and
+    drift-pinned in tests), selected per scale factor by the lineitem row
+    count -- the strongest check an inherently sequential operator admits."""
+    from .operators.training import train_fold_streamed
 
     d = _t(spark, sf_dir, "documents")
-    rows = (
-        d.select("doc_id", "lang", "text", "source")
-        .orderBy("doc_id")
-        .collect()
+    dim = _dim_df(spark)
+    labeled = (
+        d.filter("source = 'src0'")
+        .join(F.broadcast(dim), d.lang == dim.iso)
+        .select("language", "text")
     )
-    v = Vocabulary()
-    for r in rows:
-        if r["source"] == "src0":
-            lang = ISO_TO_LANGUAGE.get(r["lang"])
-            if lang is not None:
-                v.load_labeled(lang, r["text"])
-    for r in rows:
-        if r["source"] != "src0":
-            v.classify(r["text"], adjust=True)
+    unlabeled = d.filter("source <> 'src0'").select("doc_id", "text")
+    v = train_fold_streamed(spark, labeled, unlabeled, batch_size=512)
     out = [
         (lang, word, round(score, 6), is_axiom)
         for lang, word, score, is_axiom in v.rows()
@@ -1567,6 +1569,52 @@ def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "language string, word string, score double, is_axiom boolean"
     )
+
+
+def _fold_goldens_sql() -> str:
+    """DuckDB oracle for the sequential fold: the golden rows of the PURE
+    reference fold (fixtures/fold_goldens.py), selected by the lineitem row
+    count, which uniquely fingerprints each driver sf."""
+    from .fixtures.fold_goldens import FOLD_GOLDENS
+
+    rows = []
+    for key, fold in sorted(FOLD_GOLDENS.items()):
+        for lang, word, score, ax in fold:
+            w = word.replace("'", "''")
+            rows.append(
+                f"({key}, '{lang}', '{w}', {score!r}, "
+                f"{'TRUE' if ax else 'FALSE'})"
+            )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH sfkey AS (SELECT count(*) AS c FROM lineitem),
+golden(sfc, language, word, score, is_axiom) AS (VALUES
+    {values})
+SELECT language, word, CAST(score AS DOUBLE) AS score, is_axiom
+FROM golden WHERE sfc = (SELECT c FROM sfkey)
+"""
+
+
+def _axiom_dist_goldens_sql() -> str:
+    from .fixtures.fold_goldens import AXIOM_DIST_GOLDENS
+
+    rows = []
+    for key, dist in sorted(AXIOM_DIST_GOLDENS.items()):
+        for lang, n_ax, n_ind in dist:
+            rows.append(f"({key}, '{lang}', {n_ax}, {n_ind})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH sfkey AS (SELECT count(*) AS c FROM lineitem),
+golden(sfc, language, n_axioms, n_inductions) AS (VALUES
+    {values})
+SELECT language, CAST(n_axioms AS BIGINT) AS n_axioms,
+       CAST(n_inductions AS BIGINT) AS n_inductions
+FROM golden WHERE sfc = (SELECT c FROM sfkey)
+"""
+
+
+MEAN_ADJUST_SQL = _fold_goldens_sql()
+AXIOM_DIST_SQL = _axiom_dist_goldens_sql()
 
 
 def pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,17 +1908,42 @@ FROM toks t LEFT JOIN vocab v ON t.word = v.word
 
 
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct + quantile sketch) next to their
-    exact counterparts.  Rows-only: sketch values are engine-specific by
-    nature; the exact columns anchor the sanity bound in tests."""
+    """Approximate aggregates (HLL distinct + quantile sketch) VALIDATED
+    in-query against their exact twins.  Sketch values are engine-specific
+    (DuckDB cannot reproduce Spark's HLL++ or GK registers), so the
+    contract columns are the exact values plus booleans asserting the
+    sketch error sits inside the published bounds -- HLL++ default rsd 5%,
+    percentile_approx default accuracy 10000 checked against the exact
+    p49..p51 rank window.  If a Spark sketch ever drifts outside its bound
+    the boolean flips and the driver's hash check fails loudly."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
+    agg = l.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 2).alias(
-            "median_price_approx"
-        ),
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("apx_median"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("p49"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("p51"),
     )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("apx_median") >= F.col("p49"))
+            & (F.col("apx_median") <= F.col("p51"))
+        ).alias("median_within_1pct_rank"),
+    )
+
+
+APPROX_AGG_SQL = """
+SELECT count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_5pct,
+       TRUE AS median_within_1pct_rank
+FROM lineitem
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1910,7 +1983,8 @@ FROM (
 def axiom_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-19 (TrainingResult.scala:66-79): per language, axiom count vs
     induction count with score != 0.0, over the mean-adjust fold's final
-    vocabulary.  Rows-only (depends on the sequential fold)."""
+    vocabulary.  Oracle: golden distribution of the pure reference fold
+    (fixtures/fold_goldens.py), selected per sf -- see mean_adjust_fold."""
     vocab = mean_adjust_fold(spark, sf_dir)
     return (
         vocab.groupBy("language")
@@ -2263,9 +2337,9 @@ ORACLE_SQL: dict[str, str] = {
     "langid_heuristic": LANGID_HEURISTIC_SQL,
     "holdout_split": HOLDOUT_SPLIT_SQL,
     "confusion_matrix": CONFUSION_SQL,
-    # mean_adjust_fold: inherently sequential online learning -- rows-only
-    # approx_aggregates: sketches are engine-specific -- rows-only
-    # axiom_distribution: built on the sequential fold -- rows-only
+    "mean_adjust_fold": MEAN_ADJUST_SQL,
+    "approx_aggregates": APPROX_AGG_SQL,
+    "axiom_distribution": AXIOM_DIST_SQL,
     "langid_fasttext": LANGID_FASTTEXT_SQL,
     "pipeline_keep": PIPELINE_KEEP_SQL,
     "conv_quality_report": CONV_QUALITY_SQL,

@@ -86,6 +86,141 @@ def _classify_batch_distributed(
     )
 
 
+def axiom_rows_df(labeled: DataFrame, lang_col: str = "language",
+                  text_col: str = "text") -> DataFrame:
+    """Distinct (language, word) axiom rows, computed DISTRIBUTED.
+
+    ``Vocabulary.load_labeled`` (Language.scala:45-48) is order-independent
+    and idempotent -- every insert writes the same (1.0, True) -- so the
+    axiom set is exactly the distinct (language, token) pairs of the
+    labeled split and can be built with a map-side-deduped explode +
+    distinct.  Only the aggregated, model-sized result is ever collected."""
+
+    def run(batches):
+        import pandas as pd
+
+        seen: set = set()
+        for pdf in batches:
+            out_l: list = []
+            out_w: list = []
+            for lang, text in zip(pdf[lang_col], pdf[text_col]):
+                if lang not in LANGUAGES:
+                    continue
+                for t in split_words(
+                    text if isinstance(text, str) else "", lang
+                ):
+                    key = (lang, t)
+                    if key not in seen:
+                        seen.add(key)
+                        out_l.append(lang)
+                        out_w.append(t)
+            yield pd.DataFrame({"language": out_l, "word": out_w})
+
+    return labeled.mapInPandas(
+        run, "language string, word string"
+    ).distinct()
+
+
+def train_fold_streamed(
+    spark: SparkSession,
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    batch_size: int = 256,
+    order_col: str = "doc_id",
+    lang_col: str = "language",
+    text_col: str = "text",
+) -> Vocabulary:
+    """The reference's online mean-adjust fold with BOUNDED driver memory
+    and distributed heavy lifting -- bit-exact at ANY batch size.
+
+    * Axioms come from ``axiom_rows_df`` (distributed explode/distinct);
+      the driver collects only the model-sized aggregate.
+    * Unlabeled texts stream through the driver in ``order_col`` order via
+      ``toLocalIterator`` (one partition resident at a time -- never the
+      whole table), chunked into micro-batches.
+    * Each micro-batch is classified in parallel against the batch-start
+      vocabulary snapshot (one broadcast + one map-only job); the driver
+      applies the reference's per-sample updates (Language.scala:350-364)
+      in sample order -- model-sized state only.
+    * EXACTNESS: a snapshot classification is stale only when an earlier
+      sample in the SAME batch touched one of this sample's tokens
+      (inserted it, changing a gate, or mean-adjusted its score).  The
+      driver tracks touched words per language and replays stale samples
+      with the pure reference ``classify`` (rare, driver-cheap); everything
+      else reuses the distributed result, which is then bit-identical to
+      the sequential fold.  ``batch_size`` trades cluster round-trips
+      against replay frequency -- never fidelity.
+
+    On a real cluster the per-batch broadcast would ship vocab deltas, not
+    the full model; at model sizes here (10^2..10^5 entries) the full
+    re-broadcast is cheaper than the bookkeeping.
+    """
+    v = Vocabulary()
+    for r in axiom_rows_df(labeled, lang_col, text_col).collect():
+        v.entries[r["language"]][r["word"]] = (1.0, True)
+
+    ordered = unlabeled.select(order_col, text_col).orderBy(order_col)
+    buf: list[tuple[int, str]] = []
+    for row in ordered.toLocalIterator():
+        buf.append((row[order_col], row[text_col]))
+        if len(buf) >= batch_size:
+            _apply_batch_exact(spark, v, buf)
+            buf = []
+    if buf:
+        _apply_batch_exact(spark, v, buf)
+    return v
+
+
+def _apply_batch_exact(
+    spark: SparkSession, v: Vocabulary, batch: list[tuple[int, str]],
+) -> int:
+    """Classify *batch* against the current-vocabulary snapshot in parallel,
+    then apply the reference updates per sample in order, replaying any
+    sample whose snapshot result could be stale.  Returns the replay count
+    (telemetry for tests)."""
+    results = _classify_batch_distributed(spark, batch, v.entries)
+    touched: dict[str, set] = {lang: set() for lang in LANGUAGES}
+    replays = 0
+    for (seq, winner, tokens, total, n), (_s, raw) in zip(results, batch):
+        text = raw if isinstance(raw, str) else ""
+        per_lang_tokens: dict[str, list[str]] = {}
+        stale = False
+        for lang in LANGUAGES:
+            toks = split_words(text, lang)
+            per_lang_tokens[lang] = toks
+            tl = touched[lang]
+            if tl and any(t in tl for t in toks):
+                stale = True
+                break
+        if stale:
+            replays += 1
+            res = v.classify(text, adjust=True)  # pure reference path
+            for lang in LANGUAGES:
+                _score, words = res.per_language[lang]
+                touched[lang].update(words)
+        else:
+            # exact replay of classify() using the snapshot result: no
+            # touched-overlap means every gate outcome and token score this
+            # sample reads is unchanged since the snapshot
+            for lang in LANGUAGES:
+                toks = per_lang_tokens[lang]
+                vocab = v.entries[lang]
+                if toks and any(t in vocab for t in toks):
+                    for t in toks:
+                        if t not in vocab:
+                            vocab[t] = (0.0, False)
+                            touched[lang].add(t)
+            if n > ADJUST_THRESHOLD:
+                vocab = v.entries[winner]
+                mean = total / n
+                for t in tokens:
+                    score, is_axiom = vocab[t]
+                    if not is_axiom:
+                        vocab[t] = ((score + mean) / 2.0, False)
+                touched[winner].update(tokens)
+    return replays
+
+
 def train_fold_distributed(
     spark: SparkSession,
     labeled: list[tuple[str, str]],

@@ -1,7 +1,14 @@
 """Distributed EP-2 training fold: batch_size=1 must equal the pure oracle
-fold exactly; larger batches stay structurally sane."""
+fold exactly; larger batches stay structurally sane; the STREAMED fold with
+staleness replay must be bit-exact at ANY batch size; the fold goldens
+backing the DuckDB oracle must match a fresh refmodel recompute."""
 
-from languagedetection_spark.operators.training import train_fold_distributed
+import pytest
+
+from languagedetection_spark.operators.training import (
+    train_fold_distributed,
+    train_fold_streamed,
+)
 from languagedetection_spark.refmodel.classifier import Vocabulary
 
 
@@ -26,6 +33,76 @@ def test_batch_size_1_equals_oracle(spark, oracle_model):
     gold = _oracle_fold(labeled, unlabeled)
     got = train_fold_distributed(spark, labeled, unlabeled, batch_size=1)
     assert got.rows() == gold.rows()
+
+
+@pytest.mark.parametrize("batch_size", [1, 7, 64])
+def test_streamed_fold_exact_at_any_batch_size(spark, oracle_model,
+                                               batch_size):
+    """train_fold_streamed = snapshot classify + staleness replay: must be
+    BIT-IDENTICAL to the sequential reference fold at every batch size (the
+    fixture corpus repeats words heavily, so larger batches genuinely
+    exercise the replay branch)."""
+    labeled, unlabeled = _small_corpus(oracle_model)
+    gold = _oracle_fold(labeled, unlabeled)
+    ldf = spark.createDataFrame(labeled, "language string, text string")
+    udf_ = spark.createDataFrame(
+        [(i, text) for i, (_l, text) in enumerate(unlabeled)],
+        "seq long, text string",
+    )
+    got = train_fold_streamed(
+        spark, ldf, udf_, batch_size=batch_size, order_col="seq"
+    )
+    assert got.rows() == gold.rows()
+
+
+def test_replay_branch_triggers_and_stays_exact(spark, oracle_model):
+    """A batch of overlapping texts MUST route through the replay branch
+    (staleness detection) and still match the sequential fold."""
+    from languagedetection_spark.operators.training import _apply_batch_exact
+
+    labeled, _ = _small_corpus(oracle_model)
+    text = labeled[0][1]
+    batch = [(i, text) for i in range(8)]  # identical texts: maximal overlap
+
+    v = Vocabulary()
+    for lang, t in labeled:
+        v.load_labeled(lang, t)
+    replays = _apply_batch_exact(spark, v, batch)
+    assert replays >= 1
+
+    gold = Vocabulary()
+    for lang, t in labeled:
+        gold.load_labeled(lang, t)
+    for _i, t in batch:
+        gold.classify(t, adjust=True)
+    assert v.rows() == gold.rows()
+
+
+def test_fold_goldens_match_refmodel():
+    """Drift pin: the checked-in goldens (the DuckDB oracle for
+    mean_adjust_fold / axiom_distribution) must equal a fresh pure-refmodel
+    recompute at sf0.001."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_fold_goldens",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "gen_fold_goldens.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    from languagedetection_spark.fixtures.fold_goldens import (
+        AXIOM_DIST_GOLDENS,
+        FOLD_GOLDENS,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = gen.sf_key(sf_dir)
+    fold = gen.pure_fold_rows(sf_dir)
+    assert FOLD_GOLDENS[key] == fold
+    assert AXIOM_DIST_GOLDENS[key] == gen.axiom_distribution_rows(fold)
 
 
 def test_larger_batches_approximate(spark, oracle_model):
