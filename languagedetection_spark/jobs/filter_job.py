@@ -25,13 +25,15 @@ def build_model(spark, corpus_path: str | None):
     from ..functions.kernels import FilterModel
 
     if corpus_path:
-        rows = [
-            (r["language"], r["text"])
-            for r in spark.read.parquet(corpus_path)
-            .select("language", "text").collect()
-        ]
-    else:
-        rows = [(lang, text) for text, lang, _ in gen_labeled_corpus()]
+        # distributed build: the corpus is never collected -- only the
+        # model-sized vocab/trigram aggregates reach the driver, so an
+        # arbitrarily large labeled corpus works (bit-identical to
+        # FilterModel.from_corpus, pinned in tests/test_training_fold.py)
+        from ..operators.training import build_model_distributed
+
+        corpus = spark.read.parquet(corpus_path).select("language", "text")
+        return build_model_distributed(spark, corpus)
+    rows = [(lang, text) for text, lang, _ in gen_labeled_corpus()]
     return FilterModel.from_corpus(rows)
 
 

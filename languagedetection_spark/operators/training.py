@@ -121,6 +121,76 @@ def axiom_rows_df(labeled: DataFrame, lang_col: str = "language",
     ).distinct()
 
 
+def trigram_counts_df(corpus: DataFrame, lang_col: str = "language",
+                      text_col: str = "text") -> DataFrame:
+    """(language, trigram, count) over the normalized corpus, map-side
+    pre-aggregated per Arrow batch so only distinct (lang, tri) rows
+    shuffle -- the aggregate is model-sized regardless of corpus size."""
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        from ..refmodel.quality import TrigramModel
+
+        agg: Counter = Counter()
+        for pdf in batches:
+            for lang, text in zip(pdf[lang_col], pdf[text_col]):
+                norm = TrigramModel._norm(
+                    text if isinstance(text, str) else ""
+                )
+                for i in range(len(norm) - 2):
+                    agg[(lang, norm[i:i + 3])] += 1
+        yield pd.DataFrame({
+            "language": [k[0] for k in agg],
+            "tri": [k[1] for k in agg],
+            "c": list(agg.values()),
+        })
+
+    from pyspark.sql import functions as F
+
+    return (
+        corpus.mapInPandas(run, "language string, tri string, c long")
+        .groupBy("language", "tri")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def build_model_distributed(spark: SparkSession, corpus: DataFrame):
+    """FilterModel from a (language, text) corpus DataFrame WITHOUT ever
+    collecting the corpus: axioms via axiom_rows_df (distributed distinct)
+    and trigram tables via trigram_counts_df (distributed counts); the
+    driver only materializes the model-sized aggregates and applies the
+    closed-form smoothing (TrigramModel.train, alpha=1 -- bit-identical:
+    integer counts in, one math.log per entry).  This is the scale-safe
+    replacement for FilterModel.from_corpus on unbounded corpora."""
+    import math
+
+    from ..functions.kernels import FilterModel
+
+    vocab: dict[str, dict[str, float]] = {lang: {} for lang in LANGUAGES}
+    for r in axiom_rows_df(corpus).collect():
+        vocab[r["language"]][r["word"]] = 1.0
+
+    counts: dict[str, dict[str, int]] = {}
+    totals: dict[str, int] = {}
+    for r in trigram_counts_df(corpus).collect():
+        counts.setdefault(r["language"], {})[r["tri"]] = r["c"]
+        totals[r["language"]] = totals.get(r["language"], 0) + r["c"]
+    logprob: dict[str, dict[str, float]] = {}
+    backoff: dict[str, float] = {}
+    for lang, bag in counts.items():
+        total = totals[lang]
+        vsize = len(bag) + 1
+        denom = total + vsize
+        logprob[lang] = {
+            tri: math.log((c + 1.0) / denom) for tri, c in bag.items()
+        }
+        backoff[lang] = math.log(1.0 / denom)
+    return FilterModel(vocab, logprob, backoff)
+
+
 def train_fold_streamed(
     spark: SparkSession,
     labeled: DataFrame,

@@ -105,6 +105,24 @@ def test_fold_goldens_match_refmodel():
     assert AXIOM_DIST_GOLDENS[key] == gen.axiom_distribution_rows(fold)
 
 
+def test_build_model_distributed_equals_from_corpus(spark, oracle_model):
+    """The distributed model build (filter_job's scale path) must be
+    bit-identical to FilterModel.from_corpus: same vocab, same trigram
+    log-probs, same backoffs."""
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.operators.training import (
+        build_model_distributed,
+    )
+
+    _v, _tm, rows = oracle_model
+    gold = FilterModel.from_corpus(rows)
+    df = spark.createDataFrame(rows, "language string, text string")
+    got = build_model_distributed(spark, df)
+    assert got.vocab == gold.vocab
+    assert got.tri_logprob == gold.tri_logprob
+    assert got.tri_backoff == gold.tri_backoff
+
+
 def test_larger_batches_approximate(spark, oracle_model):
     labeled, unlabeled = _small_corpus(oracle_model)
     gold = _oracle_fold(labeled, unlabeled)
