@@ -1,15 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec work is STUBBED because the
-image/audio libraries are not in this container:
+signatures) is real and tested.  Codecs are OPTIONAL dependencies resolved
+at runtime:
 
-* ``decode_media_df(..., fake=False)`` raises NotImplementedError per row
-  family -- the marked integration point for PIL/torchaudio/ffmpeg.
-* ``fake=True`` substitutes a deterministic decode (payload bytes -> shape
-  metadata + 16-bin byte histogram as the 'features'), so the distributed
-  path is exercised end to end and downstream operators (ANN over the
-  feature column, dedup over payload hashes) have real inputs.
+* ``fake=True`` -- deterministic decode (payload bytes -> 16-bin byte
+  histogram as the 'features'), DuckDB-oracle-checked end to end; the
+  distributed path and downstream operators (ANN over the feature column,
+  dedup over payload hashes) run on real inputs.
+* ``fake=False`` -- REAL decode where the library exists: images via PIL
+  (16x16 grayscale resize -> normalized 16-bin intensity histogram); audio/
+  video need torchaudio/ffmpeg and raise NotImplementedError with setup
+  guidance when absent.  Detection happens per executor at first batch, so
+  the same code runs in this container (PIL absent -> clear error) and on a
+  cluster with the libs installed.
 
 Schema convention (training-data-pipeline standard):
     media(doc_id long, modality string, payload binary,
@@ -30,26 +34,62 @@ FEATURE_SCHEMA = (
 N_FEATURES = 16
 
 
+def _pil_or_none():
+    try:
+        from PIL import Image  # optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_real(data: bytes) -> list[float]:
+    """PIL decode: 16x16 grayscale thumbnail -> normalized 16-bin intensity
+    histogram (same feature width as the fake path, so downstream schemas
+    are identical either way)."""
+    import io
+
+    import numpy as np
+
+    Image = _pil_or_none()
+    if Image is None:
+        raise NotImplementedError(
+            "real image decode requires Pillow (pip install pillow); "
+            "pass fake=True for the deterministic oracle-checked stand-in"
+        )
+    with Image.open(io.BytesIO(data)) as img:
+        arr = np.asarray(
+            img.convert("L").resize((16, 16)), dtype=np.uint8
+        )
+    hist = np.bincount(
+        (arr >> 4).ravel(), minlength=N_FEATURES
+    ).astype(np.float64)
+    return (hist / hist.sum()).tolist()
+
+
 def decode_media_batch(payloads, modalities, fake: bool):
-    """The (stub) codec kernel: bytes -> fixed-length feature vector."""
+    """The codec kernel: bytes -> fixed-length feature vector."""
     import numpy as np
 
     feats, sizes = [], []
     for payload, modality in zip(payloads, modalities):
         data = bytes(payload) if payload is not None else b""
         sizes.append(len(data))
+        if not data:
+            feats.append([0.0] * N_FEATURES)
+            continue
         if not fake:
+            if modality == "image":
+                feats.append(decode_image_real(data))
+                continue
             raise NotImplementedError(
-                f"real {modality} decode requires PIL/torchaudio/ffmpeg -- "
-                "not available in this environment; pass fake=True for the "
+                f"real {modality} decode requires torchaudio/ffmpeg -- not "
+                "available in this environment; pass fake=True for the "
                 "deterministic stand-in"
             )
-        if data:
-            arr = np.frombuffer(data, dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
-            feats.append((hist / hist.sum()).tolist())
-        else:
-            feats.append([0.0] * N_FEATURES)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
+        feats.append((hist / hist.sum()).tolist())
     return sizes, feats
 
 

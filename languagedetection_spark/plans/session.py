@@ -14,6 +14,48 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_conf(catalog: str = "local",
+                 warehouse: str = "/tmp/iceberg-warehouse",
+                 catalog_type: str = "hadoop") -> dict[str, str]:
+    """Spark conf wiring an Iceberg catalog (public Iceberg-Spark keys).
+
+    Cluster usage -- the one-flag path promised by sources.read_transcripts:
+
+        spark = get_spark(extra_conf=iceberg_conf("lake", "s3://bkt/wh"))
+        df = read_transcripts(spark, "lake.db.transcripts")
+
+    Requires the iceberg-spark-runtime jar on the classpath (e.g.
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``);
+    ``iceberg_available()`` reports whether this environment has it.
+    ``catalog_type`` is ``hadoop`` (filesystem warehouse) or ``hive``/
+    ``rest`` per the public Iceberg catalog docs."""
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions."
+            "IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}":
+            "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def iceberg_available() -> bool:
+    """True when an iceberg-spark-runtime jar sits on the default
+    classpath (SPARK_HOME/jars) -- the gate for the integration test."""
+    import glob
+
+    try:
+        from pyspark.find_spark_home import _find_spark_home
+
+        home = _find_spark_home()
+    except Exception:
+        return False
+    return bool(glob.glob(
+        os.path.join(home, "jars", "iceberg-spark-runtime*.jar")
+    ))
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "languagedetection-spark",

@@ -9,8 +9,10 @@
   op-2).  Each file is one row pre-explode, so files parallelize; a single
   giant file does not (exactly like the reference's single resource).
 * ``read_transcripts`` -- the input_hint table: Iceberg when a catalog is
-  configured, Parquet path otherwise.  Iceberg needs its runtime jar on the
-  classpath, absent in this environment -- gated behind a try.
+  configured, Parquet path otherwise.  The catalog conf is one flag away:
+  ``get_spark(extra_conf=plans.session.iceberg_conf(...))`` (the runtime
+  jar is absent in this environment; tests/test_iceberg.py gates the
+  round-trip on ``iceberg_available()``).
 """
 
 from __future__ import annotations

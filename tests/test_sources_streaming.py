@@ -255,12 +255,38 @@ def test_multimodal_decode_fake(spark):
     assert [r["frame_idx"] for r in f] == list(range(len(f)))
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_optional_pil(spark):
+    """fake=False resolves codecs at runtime: image decodes for real when
+    Pillow is installed (cluster path), raises with setup guidance when it
+    is not (this container); audio/video raise pending torchaudio/ffmpeg
+    either way."""
     from languagedetection_spark.multimodal.binary_ops import (
-        decode_media_df, synthesize_media,
+        N_FEATURES, _pil_or_none, decode_media_df, synthesize_media,
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    media = synthesize_media(spark, docs.limit(2))
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        decode_media_df(media, fake=False).collect()
+    # doc_id % 3: 0 -> image, 1 -> audio
+    image_media = synthesize_media(spark, docs.filter("doc_id = 0"))
+    audio_media = synthesize_media(spark, docs.filter("doc_id = 1"))
+
+    with pytest.raises(Exception, match="torchaudio|ffmpeg"):
+        decode_media_df(audio_media, fake=False).collect()
+
+    if _pil_or_none() is None:
+        with pytest.raises(Exception, match="Pillow|pillow"):
+            decode_media_df(image_media, fake=False).collect()
+    else:  # real cluster path: decode an actual PNG end to end
+        import io
+
+        Image = _pil_or_none()
+        buf = io.BytesIO()
+        Image.new("L", (32, 32), color=128).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [(0, "image", bytearray(buf.getvalue()), {})],
+            "doc_id long, modality string, payload binary, "
+            "meta map<string,string>",
+        )
+        row = decode_media_df(media, fake=False).collect()[0]
+        assert len(row["features"]) == N_FEATURES
+        assert abs(sum(row["features"]) - 1.0) < 1e-9
+        assert row["features"][8] == 1.0  # 128 >> 4 == bin 8
