@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "pipeline_scrub",
     "embedding_topk",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_ivf_topk",
 ]
 

@@ -1152,6 +1152,150 @@ WHERE x.doc_id < y.doc_id AND bit_count(xor(x.fp, y.fp)) <= 3
 )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: SimHash near-dup pairs -> transitive
+    closure -> one canonical keeper per cluster (operators/dedup.py::
+    dedup_components_df, iterative min-label propagation).  The DuckDB
+    oracle recomputes the closure with a recursive CTE over the same
+    pairs, so the distributed label-propagation rounds are checked against
+    an independent sequential algorithm."""
+    from .operators.dedup import dedup_components_df, dedup_simhash_df
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = dedup_simhash_df(corpus, max_hamming=3)
+    return dedup_components_df(corpus.select("doc_id"), pairs)
+
+
+DEDUP_COMPONENTS_SQL = (
+    _NEARDUP_SQL_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+, hbits AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+    FROM shingles
+),
+bitsum AS (
+    SELECT doc_id, p.p,
+           sum(((h >> p.p) & 1) * 2 - 1) AS s
+    FROM hbits, (SELECT unnest(generate_series(0, 59)) AS p) p
+    GROUP BY doc_id, p.p
+),
+fps AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS fp
+    FROM bitsum GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, fp, b.b, (fp >> (b.b * 15)) & 32767 AS key
+    FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+pairs AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+    WHERE x.doc_id < y.doc_id AND bit_count(xor(x.fp, y.fp)) <= 3
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+comp AS (
+    SELECT doc_id, doc_id AS label FROM corpus
+    UNION
+    SELECT e.dst AS doc_id, c.label
+    FROM comp c JOIN edges e ON e.src = c.doc_id
+),
+final AS (SELECT doc_id, min(label) AS canonical_id FROM comp GROUP BY doc_id)
+SELECT doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM final
+"""
+)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling to per-stratum mixture rates
+    (operators/sampling.py): keep iff md5-uniform(doc_id) < rate(lang).
+    Engine-portable and seedless, so the DuckDB oracle reproduces the
+    EXACT kept set -- the property that makes resampling reproducible
+    across runs and engines at 100 TB.  Rates here derive from the data
+    (ascii(lang) mod 3) so the query self-contains its mixture spec."""
+    from .operators.sampling import sample_stratified_df
+
+    d = _t(spark, sf_dir, "documents")
+    rates = (
+        d.select("lang").distinct()
+        .select("lang", ((F.ascii("lang") % 3 + 1) * 0.25).alias("rate"))
+    )
+    kept = sample_stratified_df(d, rates, stratum_col="lang")
+    return kept.select("doc_id", "lang", "source")
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(doc_id || ':mix-v1'), 1, 15))::BIGINT
+      / 1152921504606846976.0
+      < (ascii(lang) % 3 + 1) * 0.25
+"""
+
+
+def _shingles_sql_from(src: str) -> str:
+    """DuckDB twin of operators.dedup.shingle_df for an arbitrary source
+    CTE exposing (doc_id, text)."""
+    return f"""
+    SELECT DISTINCT c.doc_id, s.shingle
+    FROM {src} c,
+         LATERAL (
+             SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(c.text, ' ')) - 2, 0)),
+                 i -> array_to_string(list_slice(string_split(c.text, ' '), i, i + 2), ' ')
+             )) AS shingle
+         ) s
+"""
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::
+    contamination_overlap_df): flag corpus docs sharing >= 2 distinct
+    3-gram shingles with a benchmark set (here: a 20-word excerpt of every
+    97th doc, simulating eval data scraped from the same sources).  The
+    stop-shingle guard prunes the corpus side exactly like the ngram dedup
+    path."""
+    from .operators.dedup import contamination_overlap_df
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter("doc_id % 97 = 0").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 5, 20), " ").alias("text"),
+    )
+    return contamination_overlap_df(d, bench, min_overlap=2)
+
+
+DECONTAMINATE_SQL = f"""
+WITH corpus_sh AS (
+{_shingles_sql_from('documents')}
+),
+freqok AS (
+    SELECT doc_id, shingle FROM corpus_sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= 128
+),
+bench AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 5, 24), ' ')
+               AS text
+    FROM documents WHERE doc_id % 97 = 0
+),
+bench_sh AS (
+    SELECT DISTINCT shingle FROM (
+{_shingles_sql_from('bench')}
+    )
+)
+SELECT f.doc_id, count(*) AS n_overlap
+FROM freqok f JOIN bench_sh b ON f.shingle = b.shingle
+GROUP BY f.doc_id
+HAVING count(*) >= 2
+"""
+
+
 def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_bucketed_topk_df
 
@@ -2276,6 +2420,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_components": dedup_components,
+    "sample_stratified": sample_stratified,
+    "decontaminate": decontaminate,
     "ann_bucketed_topk": ann_bucketed_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "doc_fingerprint": doc_fingerprint,
@@ -2330,6 +2477,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
     "ann_bucketed_topk": ANN_BUCKETED_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

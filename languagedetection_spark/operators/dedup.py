@@ -271,6 +271,96 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
     return docs.mapInPandas(run, schema="doc_id long, fp long")
 
 
+def contamination_overlap_df(docs: DataFrame, benchmark: DataFrame,
+                             min_overlap: int = 2,
+                             max_shingle_freq: int | None =
+                             MAX_SHINGLE_FREQ_DEFAULT) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= *min_overlap*
+    distinct word-3-gram shingles with ANY benchmark doc (the standard
+    n-gram-overlap contamination test used before training on scraped
+    corpora -- evaluation data must not leak into the training set).
+
+    Scale shape: benchmark shingles are DISTINCT and usually tiny relative
+    to the corpus -> the join is a broadcast semi-ish equi-join on the
+    shingle; ``max_shingle_freq`` prunes stop-shingles from the CORPUS side
+    (same guard as dedup_ngram_jaccard_df) so boilerplate doesn't fan out.
+    Returns (doc_id, n_overlap) for contaminated docs; anti-join this
+    against the corpus to decontaminate."""
+    sh = shingle_df(docs)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
+            "shingle",
+        ).select("doc_id", "shingle")
+    bench_sh = (
+        shingle_df(benchmark).select("shingle").distinct()
+    )
+    return (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def dedup_components_df(nodes: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id",
+                        max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs -> duplicate CLUSTERS.
+
+    The missing last step of every dedup family: pair lists don't dedupe a
+    corpus -- you need the transitive closure (a~b, b~c => one cluster) and
+    one canonical keeper per cluster.  Algorithm: iterative min-label
+    propagation (the standard distributed CC formulation: each round,
+    every node takes the min label among itself and its neighbors; a
+    hash-join + groupBy-min per round, O(log D) rounds for diameter D).
+    Near-dup clusters are small and shallow, so 2-4 rounds in practice;
+    rounds stop early via a changed-label count.  Lineage is cut with
+    localCheckpoint per round (iterative-Spark standard).  At 100 TB the
+    per-round shuffle is on the PAIR list (already candidate-pruned by
+    LSH), not the corpus -- the scale-correct shape.
+
+    nodes: one row per doc (singletons become their own cluster);
+    pairs: (doc_a, doc_b) undirected near-dup edges.
+    Returns (doc_id, canonical_id, cluster_size); keep = doc_id ==
+    canonical_id."""
+    half = pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("doc_id"),
+                          F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        cand = (
+            labels.unionAll(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("new_label"))
+        )
+        changed = (
+            labels.join(cand, "doc_id")
+            .filter(F.col("label") != F.col("new_label"))
+            .count()
+        )
+        labels = cand.select(
+            "doc_id", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    w = W.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("canonical_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band on 15-bit slices (a pair within hamming
     distance 3 of a 60-bit code must agree on >= 1 of 4 bands), verify with

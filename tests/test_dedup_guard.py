@@ -41,6 +41,42 @@ def test_guard_bounds_candidates_and_keeps_near_dups(spark):
     assert 0.0 < guarded_rows[0]["jaccard"] <= 1.0
 
 
+def test_components_transitive_closure(spark):
+    """Min-label propagation must produce the transitive closure: chain
+    1-2, 2-3 merges into one cluster; 4-5 separate; 6 singleton."""
+    from languagedetection_spark.operators.dedup import dedup_components_df
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_components_df(nodes, pairs).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 2), 5: (4, 2),
+        6: (6, 1),
+    }
+
+
+def test_components_deep_chain_converges(spark):
+    """A 16-node path graph needs multiple propagation rounds (diameter
+    15): the early-exit loop must still reach the fixpoint."""
+    from languagedetection_spark.operators.dedup import dedup_components_df
+
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = dedup_components_df(nodes, pairs).collect()
+    assert all(r["canonical_id"] == 0 and r["cluster_size"] == n
+               for r in got)
+    assert len(got) == n
+
+
 def test_default_guard_is_on():
     import inspect
 

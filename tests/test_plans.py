@@ -47,6 +47,34 @@ def test_classify_vocab_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_minhash_signatures_map_only(spark):
+    """The LSH signature pass must stay map-only: scan -> ArrowEval, no
+    Exchange (the round-2 one-md5-per-shingle kernel kept the r1 shape)."""
+    from languagedetection_spark.operators.dedup import minhash_signatures_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures_df(docs))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_components_round_shuffles_pairs_not_corpus(spark):
+    """One label-propagation round shuffles the (pruned) pair list and the
+    label table only -- no scan of the documents table appears in it."""
+    from languagedetection_spark.operators.dedup import dedup_components_df
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = dedup_components_df(nodes, pairs)
+    plan = _plan(out)
+    # after convergence the result is label rows + one window for sizes;
+    # localCheckpoint guarantees bounded lineage: no per-round join chain
+    assert plan.count("Scan ExistingRDD") <= 1  # the checkpointed labels
+    assert "Window" in plan
+
+
 def test_quality_pipeline_is_shuffle_free(spark, fixture_dir, oracle_model):
     from languagedetection_spark.functions.kernels import FilterModel
     from languagedetection_spark.functions.udfs import broadcast_model
