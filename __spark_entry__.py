@@ -26,31 +26,37 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from languagedetection_spark.fixtures.generate import gen_labeled_corpus
-    from languagedetection_spark.functions.kernels import FilterModel
     from languagedetection_spark.functions.udfs import broadcast_model
     from languagedetection_spark.operators.quality_filter import quality_filter
+    from languagedetection_spark.operators.training import (
+        build_model_distributed,
+    )
     from languagedetection_spark.plans.packaging import ship_package
-
     from languagedetection_spark.refmodel.alphabets import ISO_TO_LANGUAGE
 
     ship_package(spark.sparkContext)
     sf_dir = "/root/testdata/sf0.001"
     # model corpus: the 24-language fixture corpus (seed=42) PLUS the sf
     # documents' own labeled subset (source='src0'), so the flagship detects
-    # languages in both domains
-    corpus = [(lang, text) for text, lang, _iso in gen_labeled_corpus()]
-    labeled = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .filter("source = 'src0'")
-        .select("lang", "text")
-        .collect()
+    # languages in both domains.  Built DISTRIBUTED (explode/aggregate;
+    # only model-sized aggregates reach the driver) -- the labeled subset
+    # is corpus-proportional and must never be collected.
+    fixture_corpus = spark.createDataFrame(
+        [(lang, text) for text, lang, _iso in gen_labeled_corpus()],
+        "language string, text string",
     )
-    corpus += [
-        (ISO_TO_LANGUAGE[r["lang"]], r["text"])
-        for r in labeled
-        if r["lang"] in ISO_TO_LANGUAGE
-    ]
-    model = FilterModel.from_corpus(corpus)
+    dim = spark.createDataFrame(
+        sorted(ISO_TO_LANGUAGE.items()), "iso string, language string"
+    )
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = (
+        docs0.filter("source = 'src0'")
+        .join(F.broadcast(dim), docs0.lang == dim.iso)
+        .select("language", "text")
+    )
+    model = build_model_distributed(
+        spark, fixture_corpus.unionAll(labeled)
+    )
     bc = broadcast_model(spark, model)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

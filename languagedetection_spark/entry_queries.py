@@ -462,21 +462,22 @@ def classify_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FilterModel over mapInPandas) -- shares the relational oracle SQL, so
     the driver gate proves kernel == relational == DuckDB."""
     from .functions.kernels import FilterModel
+    from .operators.training import axiom_rows_df
     from .refmodel.classifier import Vocabulary
     from .refmodel.quality import TrigramModel
 
     d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark)
     labeled = (
-        _t(spark, sf_dir, "documents")
-        .filter("source = 'src0'")
-        .select("lang", "text")
-        .collect()
+        d.filter("source = 'src0'")
+        .join(F.broadcast(dim), d.lang == dim.iso)
+        .select("language", "text")
     )
+    # distributed axiom build: only the model-sized distinct (language,
+    # word) aggregate reaches the driver (== load_labeled on every row)
     v = Vocabulary()
-    for r in labeled:
-        lang = ISO_TO_LANGUAGE.get(r["lang"])
-        if lang is not None:
-            v.load_labeled(lang, r["text"])
+    for r in axiom_rows_df(labeled).collect():
+        v.entries[r["language"]][r["word"]] = (1.0, True)
     model = FilterModel.from_vocabulary(v, TrigramModel.train([]))
     bc = spark.sparkContext.broadcast(model)
     d = d.repartition(spark.sparkContext.defaultParallelism)
@@ -1574,17 +1575,22 @@ def langid_fasttext(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-oracle-checked value-for-value: the wrapping-uint64 polynomial
     hash is reproduced exactly in SQL via HUGEINT arithmetic, because
     ``(V mod 2^64) mod 2^18 == V mod 2^18`` (see LANGID_FASTTEXT_SQL)."""
-    from .functions.fasttext import HashedNgramModel, langid_fasttext_df
+    from .functions.fasttext import (
+        langid_fasttext_df,
+        train_hashed_ngram_distributed,
+    )
 
     d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark)
     labeled = (
-        d.filter("source = 'src0'").select("lang", "text").collect()
+        d.filter("source = 'src0'")
+        .join(F.broadcast(dim), d.lang == dim.iso)
+        .select("language", "text")
     )
-    rows = [
-        (ISO_TO_LANGUAGE[r["lang"]], r["text"])
-        for r in labeled if r["lang"] in ISO_TO_LANGUAGE
-    ]
-    model = HashedNgramModel.train(rows)
+    # distributed training: the labeled subset is corpus-proportional, so
+    # it must never be collected -- only the (language, bucket) count table
+    # reaches the driver (bit-identical to HashedNgramModel.train)
+    model = train_hashed_ngram_distributed(labeled)
     bc = spark.sparkContext.broadcast(model)
     return langid_fasttext_df(
         d.repartition(spark.sparkContext.defaultParallelism), bc

@@ -71,6 +71,14 @@ class HashedNgramModel:
             bag = counts.setdefault(lang, {})
             for b in text_buckets(text).tolist():
                 bag[b] = bag.get(b, 0) + 1
+        return cls.from_counts(counts, alpha)
+
+    @classmethod
+    def from_counts(cls, counts: dict[str, dict[int, int]],
+                    alpha: float = 1.0) -> "HashedNgramModel":
+        """Build from per-language bucket counts -- the entry point for the
+        DISTRIBUTED trainer (integer counts in, one math.log per entry, so
+        driver-side and distributed training are bit-identical)."""
         langs = sorted(counts)
         tables, backoff = {}, {}
         for lang in langs:
@@ -172,6 +180,45 @@ class HashedNgramModel:
             if score > best:
                 best_lang, best = lang, score
         return best_lang, best
+
+
+def train_hashed_ngram_distributed(labeled, lang_col: str = "language",
+                                   text_col: str = "text",
+                                   alpha: float = 1.0) -> HashedNgramModel:
+    """Train from a (language, text) DataFrame WITHOUT collecting the
+    corpus: per-batch (language, bucket) Counters -> groupBy sum -> only
+    the model-sized count table reaches the driver (<= langs * 2^18 rows).
+    Bit-identical to ``HashedNgramModel.train`` on the same rows."""
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        agg: Counter = Counter()
+        for pdf in batches:
+            for lang, text in zip(pdf[lang_col], pdf[text_col]):
+                for b in text_buckets(
+                    text if isinstance(text, str) else ""
+                ).tolist():
+                    agg[(lang, b)] += 1
+        yield pd.DataFrame({
+            "language": [k[0] for k in agg],
+            "b": [k[1] for k in agg],
+            "c": list(agg.values()),
+        })
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        labeled.mapInPandas(run, "language string, b long, c long")
+        .groupBy("language", "b").agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for r in rows:
+        counts.setdefault(r["language"], {})[int(r["b"])] = int(r["c"])
+    return HashedNgramModel.from_counts(counts, alpha)
 
 
 def langid_fasttext_df(docs, model_bc, id_col: str = "doc_id",

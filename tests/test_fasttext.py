@@ -119,3 +119,27 @@ def test_distributed_scorer_matches_local(spark, fixture_dir, oracle_model):
         assert out[i]["ft_lang_pc"] == pc[0]
         assert abs((out[i]["ft_score_pc"] or 0.0) - round(pc[1], 6)) < 1e-9
         assert abs((out[i]["ft_margin_pc"] or 0.0) - round(pc[2], 6)) < 1e-9
+
+
+def test_distributed_training_equals_local(spark, oracle_model):
+    """train_hashed_ngram_distributed must be bit-identical to
+    HashedNgramModel.train on the same (language, text) rows: same
+    languages, bucket tables, log-probs, and backoffs."""
+    import numpy as np
+
+    from languagedetection_spark.functions.fasttext import (
+        HashedNgramModel,
+        train_hashed_ngram_distributed,
+    )
+
+    _v, _tm, rows = oracle_model
+    gold = HashedNgramModel.train(rows)
+    df = spark.createDataFrame(rows, "language string, text string")
+    got = train_hashed_ngram_distributed(df.repartition(7))
+    assert got.langs == gold.langs
+    assert got.backoff == gold.backoff
+    for lang in gold.langs:
+        gb, gp = gold.tables[lang]
+        hb, hp = got.tables[lang]
+        assert np.array_equal(gb, hb)
+        assert np.array_equal(gp, hp)
