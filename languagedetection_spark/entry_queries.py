@@ -2195,6 +2195,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming STATEFUL exact dedup in the contract: the
+    documents table plus planted exact copies (every 7th doc) streams
+    through ``dropDuplicates`` on the text md5 (state = seen-hash store,
+    the streaming twin of dedup_exact); the emitted distinct-hash set must
+    equal the batch DISTINCT over the original table -- the oracle.  At
+    production scale the state store is RocksDB and a watermark on the
+    ingest timestamp bounds it (``dropDuplicatesWithinWatermark``); the
+    finite fixture needs neither."""
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("text").unionAll(
+        d.filter("doc_id % 7 = 0").select("text")
+    )
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ld_stream_dedup_src_{abs(hash(sf_dir)) % 99999}",
+    )
+    if not os.path.exists(src):
+        corpus.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = stream.select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash")
+    ).dropDuplicates(["text_hash"])
+    name = f"stream_dedup_{abs(hash(sf_dir)) % 99999}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents
+"""
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE — the full grouping-sets lattice (rollup_revenue covers the
     prefix lattice; CUBE adds the (NULL, linestatus) cells)."""
@@ -2445,6 +2492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "axiom_distribution": axiom_distribution,
     "streaming_hourly": streaming_hourly,
+    "streaming_dedup": streaming_dedup,
     "cube_revenue": cube_revenue,
     "range_join_tiers": range_join_tiers,
     "percentile_stats": percentile_stats,
@@ -2502,6 +2550,7 @@ ORACLE_SQL: dict[str, str] = {
     "word_cumsum": WORD_CUMSUM_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "streaming_hourly": STREAMING_HOURLY_SQL,
+    "streaming_dedup": STREAMING_DEDUP_SQL,
     "cube_revenue": CUBE_SQL,
     "range_join_tiers": RANGE_JOIN_SQL,
     "percentile_stats": PERCENTILE_SQL,
