@@ -321,6 +321,12 @@ def dedup_components_df(nodes: DataFrame, pairs: DataFrame,
     per-round shuffle is on the PAIR list (already candidate-pruned by
     LSH), not the corpus -- the scale-correct shape.
 
+    Singletons never change labels, so the iteration runs ONLY over nodes
+    that appear in a pair (the LSH-pruned candidate set -- a tiny fraction
+    of a real corpus); untouched docs are unioned back as size-1 clusters
+    at the end with no per-round cost.  Per-round work is therefore
+    bounded by the pair list, never the corpus.
+
     nodes: one row per doc (singletons become their own cluster);
     pairs: (doc_a, doc_b) undirected near-dup edges.
     Returns (doc_id, canonical_id, cluster_size); keep = doc_id ==
@@ -330,9 +336,14 @@ def dedup_components_df(nodes: DataFrame, pairs: DataFrame,
     edges = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
 
-    labels = nodes.select(F.col(id_col).alias("doc_id"),
-                          F.col(id_col).alias("label"))
+    all_nodes = nodes.select(F.col(id_col).alias("doc_id"))
+    labels = (
+        all_nodes.join(touched, "doc_id")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -354,11 +365,17 @@ def dedup_components_df(nodes: DataFrame, pairs: DataFrame,
         if changed == 0:
             break
     w = W.partitionBy("label")
-    return labels.select(
+    clustered = labels.select(
         "doc_id",
         F.col("label").alias("canonical_id"),
         F.count("*").over(w).alias("cluster_size"),
     )
+    singletons = all_nodes.join(touched, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("canonical_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return clustered.unionAll(singletons)
 
 
 def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

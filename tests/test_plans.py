@@ -69,10 +69,13 @@ def test_components_round_shuffles_pairs_not_corpus(spark):
     )
     out = dedup_components_df(nodes, pairs)
     plan = _plan(out)
-    # after convergence the result is label rows + one window for sizes;
-    # localCheckpoint guarantees bounded lineage: no per-round join chain
-    assert plan.count("Scan ExistingRDD") <= 1  # the checkpointed labels
+    # the result is a UNION of (checkpointed propagated labels + one size
+    # window) and (nodes LEFT ANTI touched -> singletons): localCheckpoint
+    # guarantees bounded lineage (no per-round join chain survives), and
+    # singletons are attached once, outside the iteration
+    assert plan.count("Scan ExistingRDD") <= 3  # labels, nodes, edges
     assert "Window" in plan
+    assert "LeftAnti" in plan
 
 
 def test_quality_pipeline_is_shuffle_free(spark, fixture_dir, oracle_model):
