@@ -118,3 +118,106 @@ def test_frozen_scoring_never_mutates(text, model_pair):
     sizes = {lang: len(v.entries[lang]) for lang in LANGUAGES}
     v.winner_frozen(text)
     assert sizes == {lang: len(v.entries[lang]) for lang in LANGUAGES}
+
+
+# ---------------------------------------------------------------------------
+# round-2 hash kernels: numpy-vectorized forms vs naive big-int Python
+# ---------------------------------------------------------------------------
+
+def _naive_minhash_sig(text: str, k: int = 12) -> list[int]:
+    """Straight-Python reimplementation of the MinHash signature (no numpy,
+    arbitrary-precision ints) -- the differential reference."""
+    import hashlib
+
+    P = 2147483647
+    toks = text.split(" ")
+    if len(toks) < 3:
+        return []
+    shingles = {
+        " ".join(toks[i:i + 3]).encode() for i in range(len(toks) - 2)
+    }
+    sig = []
+    for i in range(k):
+        a = (1000003 * (i + 1)) % P
+        b = (999983 * i + 12345) % P
+        sig.append(min(
+            (a * (int.from_bytes(hashlib.md5(s).digest()[8:], "little") % P)
+             + b) % P
+            for s in shingles
+        ))
+    return sig
+
+
+def _naive_simhash(text: str) -> int:
+    import hashlib
+
+    toks = [t for t in (text or "").split(" ") if t]
+    shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    if not shingles:
+        return 0
+    fp = 0
+    for p in range(60):
+        vote = sum(
+            1 if (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) >> p) & 1
+            else -1
+            for s in shingles
+        )
+        if vote > 0:
+            fp |= 1 << p
+    return fp
+
+
+@given(text_strategy)
+@settings(max_examples=150, deadline=None)
+def test_minhash_kernel_equals_naive(text):
+    """The uint64-vectorized MinHash kernel must equal arbitrary-precision
+    Python for arbitrary unicode text (overflow/encoding edge cases)."""
+    import numpy as np
+
+    from languagedetection_spark.operators.dedup import _minhash_coeffs
+
+    a, b = _minhash_coeffs(12)
+    p = np.uint64(2147483647)
+    toks = text.split(" ")
+    if len(toks) >= 3:
+        import hashlib
+
+        shingles = {
+            " ".join(toks[i:i + 3]).encode() for i in range(len(toks) - 2)
+        }
+        ms = np.fromiter(
+            (int.from_bytes(hashlib.md5(s).digest()[8:], "little")
+             for s in shingles),
+            dtype=np.uint64, count=len(shingles),
+        )
+        h = (a[:, None] * (ms % p)[None, :] + b[:, None]) % p
+        got = h.min(axis=1).astype(np.int64).tolist()
+    else:
+        got = []
+    assert got == _naive_minhash_sig(text)
+
+
+@given(text_strategy)
+@settings(max_examples=100, deadline=None)
+def test_simhash_vectorized_equals_naive(text):
+    import hashlib
+
+    import numpy as np
+
+    toks = [t for t in (text or "").split(" ") if t]
+    shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    if not shingles:
+        got = 0
+    else:
+        shifts = np.arange(60, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
+        hs = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in shingles),
+            dtype=np.uint64, count=len(shingles),
+        )
+        ones = ((hs[:, None] >> shifts[None, :])
+                & np.uint64(1)).sum(axis=0).astype(np.int64)
+        acc = 2 * ones - np.int64(len(shingles))
+        got = int(((acc > 0) * weights).sum())
+    assert got == _naive_simhash(text)
