@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
                         "completed per-turn output")
     p.add_argument("--fail-after", type=int, default=None,
                    help="TESTING: raise after N buckets to exercise resume")
+    p.add_argument("--streaming", action="store_true",
+                   help="consume --input as a file stream (availableNow "
+                        "trigger): parquet sink + streaming checkpoint "
+                        "gives exactly-once restarts instead of the "
+                        "bucketed batch writer")
     args = p.parse_args(argv)
 
     from ..functions.udfs import broadcast_model
@@ -82,6 +87,35 @@ def main(argv: list[str] | None = None) -> int:
             save_model(model, args.model_artifact)
     fp = model_fingerprint(model)
     bc = broadcast_model(spark, model)
+
+    if args.streaming:
+        from ..streaming.pipeline import (
+            run_to_parquet,
+            stream_transcripts,
+            streaming_quality_filter,
+        )
+
+        stream = stream_transcripts(spark, args.input)
+        run_to_parquet(
+            streaming_quality_filter(stream, bc), args.output,
+            os.path.join(args.checkpoint, "stream"),
+        )
+        out = {"run_id": args.run_id, "mode": "streaming",
+               "model_fingerprint": fp}
+        if args.conv_report:
+            from ..operators.quality_filter import conv_report
+
+            decided = spark.read.parquet(args.output)
+            conv_report(decided).write.parquet(
+                args.conv_report, mode="overwrite"
+            )
+            out["conv_report_rows"] = (
+                spark.read.parquet(args.conv_report).count()
+            )
+        print(json.dumps(out))
+        spark.stop()
+        return 0
+
     df = read_transcripts(spark, args.input)
 
     count = {"n": 0}

@@ -58,6 +58,28 @@ def streaming_lang_rates(decided: DataFrame, watermark: str = "10 minutes",
     )
 
 
+def run_to_parquet(decided: DataFrame, output_dir: str,
+                   checkpoint_dir: str) -> None:
+    """PRODUCTION sink: parquet files + streaming checkpoint.
+
+    ``availableNow`` drains everything currently in the source then stops
+    (the modern incremental-batch pattern); the checkpoint makes restarts
+    exactly-once -- re-running after success writes nothing new, and
+    re-running after a crash resumes from the last committed offset.  The
+    streaming twin of jobs/filter_job.py's bucketed batch writer (which
+    covers the same need with explicit per-bucket lineage when the source
+    is a static table)."""
+    q = (
+        decided.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_batch_to_memory(df: DataFrame, name: str,
                         output_mode: str = "append") -> None:
     """Drive a bounded stream to completion synchronously (tests/demos)."""

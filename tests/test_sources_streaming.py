@@ -113,6 +113,44 @@ def test_streaming_pipeline_matches_batch(spark, fixture_dir, oracle_model,
     assert got == batch
 
 
+def test_streaming_parquet_sink_exactly_once(spark, oracle_model,
+                                             stream_dir, tmp_path):
+    """run_to_parquet (availableNow + checkpoint): output equals the batch
+    filter exactly, and re-running with the same checkpoint writes NOTHING
+    new (exactly-once restart semantics)."""
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.functions.udfs import broadcast_model
+    from languagedetection_spark.operators.quality_filter import quality_filter
+    from languagedetection_spark.streaming.pipeline import (
+        run_to_parquet, stream_transcripts, streaming_quality_filter,
+    )
+
+    v, tm, _ = oracle_model
+    bc = broadcast_model(spark, FilterModel.from_vocabulary(v, tm))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        decided = streaming_quality_filter(
+            stream_transcripts(spark, stream_dir), bc
+        )
+        run_to_parquet(decided, out, ckpt)
+
+    run()
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["lang"], r["keep"], r["drop_reason"])
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        (r["conv_id"], r["turn_idx"], r["lang"], r["keep"], r["drop_reason"])
+        for r in quality_filter(spark.read.parquet(stream_dir), bc).collect()
+    )
+    assert got == batch
+
+    run()  # restart against the same checkpoint: no new offsets, no rows
+    assert spark.read.parquet(out).count() == len(got)
+
+
 def test_streaming_windowed_rates(spark, fixture_dir, oracle_model,
                                   stream_dir):
     from languagedetection_spark.functions.kernels import FilterModel
