@@ -67,6 +67,43 @@ def decode_image_real(data: bytes) -> list[float]:
     return (hist / hist.sum()).tolist()
 
 
+def decode_audio_real(data: bytes) -> list[float]:
+    """WAV decode via the stdlib ``wave`` module (no external dependency):
+    normalized 16-bin histogram of the first channel's absolute amplitude.
+    Non-WAV containers (mp3/ogg/flac) need torchaudio/ffmpeg and raise."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            f"non-WAV audio requires torchaudio/ffmpeg ({e}); pass "
+            "fake=True for the deterministic oracle-checked stand-in"
+        ) from e
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    arr = np.frombuffer(raw, dtype=dtype)
+    if ch > 1:
+        arr = arr[: len(arr) - len(arr) % ch].reshape(-1, ch)[:, 0]
+    arr = arr.astype(np.float64)
+    if width == 1:
+        arr = arr - 128.0  # 8-bit WAV is unsigned
+    if not len(arr):
+        return [0.0] * N_FEATURES
+    amp = np.minimum(np.abs(arr) / float(1 << (8 * width - 1)), 1.0 - 1e-12)
+    hist = np.bincount(
+        (amp * N_FEATURES).astype(np.int64), minlength=N_FEATURES
+    ).astype(np.float64)
+    return (hist / hist.sum()).tolist()
+
+
 def decode_media_batch(payloads, modalities, fake: bool):
     """The codec kernel: bytes -> fixed-length feature vector."""
     import numpy as np
@@ -82,10 +119,13 @@ def decode_media_batch(payloads, modalities, fake: bool):
             if modality == "image":
                 feats.append(decode_image_real(data))
                 continue
+            if modality == "audio":
+                feats.append(decode_audio_real(data))
+                continue
             raise NotImplementedError(
-                f"real {modality} decode requires torchaudio/ffmpeg -- not "
-                "available in this environment; pass fake=True for the "
-                "deterministic stand-in"
+                f"real {modality} decode requires ffmpeg -- not available "
+                "in this environment; pass fake=True for the deterministic "
+                "stand-in"
             )
         arr = np.frombuffer(data, dtype=np.uint8)
         hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)

@@ -113,6 +113,43 @@ def test_streaming_pipeline_matches_batch(spark, fixture_dir, oracle_model,
     assert got == batch
 
 
+def test_multimodal_real_wav_decode(spark):
+    """fake=False audio: WAV payloads decode for REAL via the stdlib wave
+    module -- 16-bin amplitude histogram, distributed through the same
+    mapInPandas plumbing."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from languagedetection_spark.multimodal.binary_ops import (
+        N_FEATURES, decode_media_df,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        # deterministic 440 Hz-ish sine at half amplitude
+        frames = b"".join(
+            struct.pack("<h", int(16383 * math.sin(2 * math.pi * 440 * i / 8000)))
+            for i in range(800)
+        )
+        w.writeframes(frames)
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(buf.getvalue()), {})],
+        "doc_id long, modality string, payload binary, "
+        "meta map<string,string>",
+    )
+    row = decode_media_df(media, fake=False).collect()[0]
+    assert len(row["features"]) == N_FEATURES
+    assert abs(sum(row["features"]) - 1.0) < 1e-9
+    # half-amplitude sine: all mass in bins 0..8, none above
+    assert sum(row["features"][:9]) > 0.999
+    assert row["n_bytes"] == len(buf.getvalue())
+
+
 def test_streaming_parquet_sink_exactly_once(spark, oracle_model,
                                              stream_dir, tmp_path):
     """run_to_parquet (availableNow + checkpoint): output equals the batch
