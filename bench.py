@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "embedding_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "sample_stratified",
+    "decontaminate",
     "ann_ivf_topk",
 ]
 
