@@ -2147,6 +2147,22 @@ def axiom_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _src_cache_key(sf_dir: str, table: str) -> str:
+    """Cache key for the /tmp stream-source copies: path PLUS the source
+    parquet's (size, mtime), so a regenerated testdata dir can never serve
+    a stale stream source to the gate."""
+    import hashlib as _hl
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        sig = f"{sf_dir}:{table}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        sig = f"{sf_dir}:{table}"
+    return _hl.md5(sig.encode()).hexdigest()[:12]
+
+
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming in the contract: tumbling 1-hour window counts
     over the events table driven through a real streaming query
@@ -2158,7 +2174,7 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     src = os.path.join(
         tempfile.gettempdir(),
-        f"ld_stream_events_{abs(hash(sf_dir)) % 99999}",
+        f"ld_stream_events_{_src_cache_key(sf_dir, 'events')}",
     )
     if not os.path.exists(src):
         e.repartition(4).write.mode("overwrite").parquet(src)
@@ -2213,7 +2229,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = os.path.join(
         tempfile.gettempdir(),
-        f"ld_stream_dedup_src_{abs(hash(sf_dir)) % 99999}",
+        f"ld_stream_dedup_src_{_src_cache_key(sf_dir, 'documents')}",
     )
     if not os.path.exists(src):
         corpus.repartition(4).write.mode("overwrite").parquet(src)
