@@ -1723,12 +1723,16 @@ def mean_adjust_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fold_goldens_sql() -> str:
     """DuckDB oracle for the sequential fold: the golden rows of the PURE
-    reference fold (fixtures/fold_goldens.py), selected by the lineitem row
-    count, which uniquely fingerprints each driver sf."""
-    from .fixtures.fold_goldens import FOLD_GOLDENS
+    reference fold, selected by the lineitem row count (which uniquely
+    fingerprints each driver sf).  ``current_goldens`` validates the
+    frozen rows against the live documents fingerprint and recomputes the
+    pure fold where the fixture changed, so a regenerated testdata dir
+    can never serve a stale golden."""
+    from .fixtures.fold_oracle import current_goldens
 
+    folds, _ = current_goldens()
     rows = []
-    for key, fold in sorted(FOLD_GOLDENS.items()):
+    for key, fold in sorted(folds.items()):
         for lang, word, score, ax in fold:
             w = word.replace("'", "''")
             rows.append(
@@ -1746,10 +1750,11 @@ FROM golden WHERE sfc = (SELECT c FROM sfkey)
 
 
 def _axiom_dist_goldens_sql() -> str:
-    from .fixtures.fold_goldens import AXIOM_DIST_GOLDENS
+    from .fixtures.fold_oracle import current_goldens
 
+    _, dists = current_goldens()
     rows = []
-    for key, dist in sorted(AXIOM_DIST_GOLDENS.items()):
+    for key, dist in sorted(dists.items()):
         for lang, n_ax, n_ind in dist:
             rows.append(f"({key}, '{lang}', {n_ax}, {n_ind})")
     values = ",\n    ".join(rows)

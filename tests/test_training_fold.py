@@ -105,6 +105,49 @@ def test_fold_goldens_match_refmodel():
     assert AXIOM_DIST_GOLDENS[key] == gen.axiom_distribution_rows(fold)
 
 
+def test_goldens_self_heal_on_fixture_change(tmp_path):
+    """If the driver regenerates testdata, the frozen fold goldens must be
+    DETECTED as stale (documents fingerprint) and recomputed live -- the
+    gate must never compare against rows from an older fixture."""
+    import shutil
+
+    from languagedetection_spark.fixtures import fold_oracle
+    from languagedetection_spark.fixtures.fold_goldens import FOLD_GOLDENS
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = tmp_path / "sf0.001"
+    sf_dir.mkdir()
+    shutil.copy(f"{src}/lineitem.parquet", sf_dir / "lineitem.parquet")
+
+    # perturb the documents table: append a new word to a labeled doc's
+    # text -- guarantees a new axiom in the recomputed vocabulary
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{src}/documents.parquet")
+    rows = t.to_pylist()
+    changed = next(r for r in rows if r["source"] == "src0")
+    # NOTE: no 'z' -- the reference's Set.range bug (pinned) makes 'z'
+    # invalid, and a gated-out word would not change the vocabulary
+    changed["text"] = changed["text"] + " qqnewaxiomword"
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=t.schema),
+        str(sf_dir / "documents.parquet"),
+    )
+
+    folds, dists = fold_oracle.current_goldens(
+        root=str(tmp_path), sfs=("sf0.001",)
+    )
+    live = fold_oracle.pure_fold_rows(str(sf_dir))
+    assert folds[6000] == live
+    assert folds[6000] != FOLD_GOLDENS[6000]
+    assert dists[6000] == fold_oracle.axiom_distribution_rows(live)
+
+    # unchanged fixture: the frozen goldens are served untouched
+    folds2, _ = fold_oracle.current_goldens()
+    assert folds2[6000] == FOLD_GOLDENS[6000]
+
+
 def test_build_model_distributed_equals_from_corpus(spark, oracle_model):
     """The distributed model build (filter_job's scale path) must be
     bit-identical to FilterModel.from_corpus: same vocab, same trigram
