@@ -331,14 +331,22 @@ def dedup_components_df(nodes: DataFrame, pairs: DataFrame,
     pairs: (doc_a, doc_b) undirected near-dup edges.
     Returns (doc_id, canonical_id, cluster_size); keep = doc_id ==
     canonical_id."""
+    all_nodes = nodes.select(F.col(id_col).alias("doc_id"))
     half = pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
-    edges = half.unionAll(
+    sym = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
+    # drop edges referencing unknown docs -- otherwise phantom ids would
+    # enter the label table through propagation and leak into the output
+    edges = (
+        sym.join(all_nodes.withColumnRenamed("doc_id", "src"), "src",
+                 "left_semi")
+        .join(all_nodes.withColumnRenamed("doc_id", "dst"), "dst",
+              "left_semi")
+        .localCheckpoint(eager=True)
+    )
     touched = edges.select(F.col("src").alias("doc_id")).distinct()
-
-    all_nodes = nodes.select(F.col(id_col).alias("doc_id"))
     labels = (
         all_nodes.join(touched, "doc_id")
         .select("doc_id", F.col("doc_id").alias("label"))

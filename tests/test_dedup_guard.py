@@ -77,6 +77,23 @@ def test_components_deep_chain_converges(spark):
     assert len(got) == n
 
 
+def test_components_ignore_unknown_pair_ids(spark):
+    """Pairs referencing docs absent from the node set must not leak
+    phantom ids into the output (nor merge through them)."""
+    from languagedetection_spark.operators.dedup import dedup_components_df
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 99), (99, 3)],  # 99 is not a node
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_components_df(nodes, pairs).collect()
+    }
+    assert got == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
+
+
 def test_default_guard_is_on():
     import inspect
 
