@@ -2135,6 +2135,44 @@ FROM (
 """
 
 
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.py::ann_sq_topk_df):
+    database vectors stored 1 byte/dim (fixed [-1,1) grid -- deterministic,
+    no trained codebook), scanned with asymmetric cosine against the exact
+    query.  The oracle reproduces the encode/reconstruct arithmetic
+    bit-for-bit in SQL."""
+    from .operators.similarity import ann_sq_topk_df
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_sq_topk_df(e, e.filter("vec_id < 20"), k=3)
+
+
+ANN_SQ_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+rec AS (
+    SELECT vec_id,
+           list_transform(
+               list_transform(emb, x -> least(255, greatest(0,
+                   CAST(floor((x - (-1.0)) * 128.0) AS INT)))),
+               c -> -1.0 + (c + 0.5) * (2.0 / 256)
+           ) AS remb
+    FROM e
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+pairs AS (
+    SELECT q.query_id, r.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qemb, r.remb) AS sim_raw
+    FROM q JOIN rec r ON r.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
 def axiom_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-19 (TrainingResult.scala:66-79): per language, axiom count vs
     induction count with score != 0.0, over the mean-adjust fold's final
@@ -2511,6 +2549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_cumsum": word_cumsum,
     "approx_aggregates": approx_aggregates,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_sq_topk": ann_sq_topk,
     "axiom_distribution": axiom_distribution,
     "streaming_hourly": streaming_hourly,
     "streaming_dedup": streaming_dedup,
@@ -2570,6 +2609,7 @@ ORACLE_SQL: dict[str, str] = {
     "conv_quality_report": CONV_QUALITY_SQL,
     "word_cumsum": WORD_CUMSUM_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_sq_topk": ANN_SQ_SQL,
     "streaming_hourly": STREAMING_HOURLY_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "cube_revenue": CUBE_SQL,

@@ -222,3 +222,78 @@ def dedup_embedding_cosine_df(df: DataFrame, threshold: float = 0.95,
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantized ANN (SQ8): the memory-bounded scan path
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 256
+SQ_LO = -1.0
+SQ_HI = 1.0
+
+
+def sq_encode(emb_col: str = "embedding"):
+    """1-byte-per-dim scalar quantization: code_i = clamp(floor((x_i - lo)
+    / (hi - lo) * 256), 0, 255) with a FIXED [-1, 1) range (no trained
+    codebook -> fully deterministic and engine-portable).  A 100 TB
+    float32 embedding column scans 4x smaller as codes; cosine runs
+    against the midpoint reconstruction (asymmetric distance: exact query
+    vs quantized database, the ADC idea from product quantization)."""
+    scale = SQ_LEVELS / (SQ_HI - SQ_LO)
+    return F.transform(
+        F.col(emb_col),
+        lambda x: F.least(
+            F.lit(SQ_LEVELS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x.cast("double") - SQ_LO) * scale).cast("int"),
+            ),
+        ),
+    )
+
+
+def sq_reconstruct(code_col):
+    """Midpoint decode: x̂_i = lo + (code_i + 0.5) * (hi - lo) / 256."""
+    step = (SQ_HI - SQ_LO) / SQ_LEVELS
+    return F.transform(code_col, lambda c: SQ_LO + (c + 0.5) * step)
+
+
+def ann_sq_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """Top-k cosine over the SQ8-compressed database: encode map-only
+    (stored as the compact column at scale), reconstruct per scan,
+    asymmetric cosine against the exact query, rank per query.  The plan
+    is the exact-baseline's broadcast scan shape at a quarter of the
+    bytes; recall vs the exact baseline is test-pinned."""
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"), sq_encode(emb_col).alias("_code")
+    ).select(
+        "neighbor_id", F.col("_code"), sq_reconstruct(F.col("_code")).alias("_emb")
+    ).withColumn(
+        "_nrm",
+        F.sqrt(F.aggregate("_emb", F.lit(0.0), lambda a, x: a + x * x)),
+    ).drop("_code")
+    q = _with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    pairs = base.join(F.broadcast(q),
+                      F.col("neighbor_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("_emb", "_qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("_nrm") * F.col("_qnrm"))).alias("sim_raw")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim_raw"),
+                                          F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sim_raw", 4).alias("sim"), "rank")
+    )

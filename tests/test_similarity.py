@@ -116,3 +116,37 @@ def test_ann_isotropic_recall_floor(spark):
     df.unpersist()
     recall = len(exact & approx) / len(exact)
     assert recall < 0.4  # ~0.1 expected; far from clustered-data quality
+
+
+def test_sq_recall_near_exact(spark):
+    """8-bit scalar quantization barely perturbs cosine ranking: top-3 SQ
+    neighbors must recover >= 0.9 of the exact top-3 on the fixture."""
+    from languagedetection_spark.operators.similarity import (
+        ann_sq_topk_df, cosine_topk_df,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 30")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_df(e, q, k=3).collect()
+    }
+    sq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_sq_topk_df(e, q, k=3).collect()
+    }
+    recall = len(exact & sq) / len(exact)
+    assert recall >= 0.9, f"SQ recall {recall:.3f}"
+
+
+def test_sq_codes_in_range(spark):
+    from pyspark.sql import functions as F
+
+    from languagedetection_spark.operators.similarity import sq_encode
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = e.select(sq_encode().alias("code")).select(
+        F.min(F.array_min("code")).alias("lo"),
+        F.max(F.array_max("code")).alias("hi"),
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] <= 255
