@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "decontaminate",
     "ann_ivf_topk",
+    "ann_sq_topk",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "50000"))
