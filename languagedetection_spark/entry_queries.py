@@ -1123,9 +1123,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash_df(_neardup_corpus(spark, sf_dir), max_hamming=3)
 
 
-DEDUP_SIMHASH_SQL = (
-    _NEARDUP_SQL_CTE
-    + """
+# shared by DEDUP_SIMHASH_SQL and DEDUP_COMPONENTS_SQL -- one definition so
+# the two oracles can never drift apart
+_SIMHASH_CTES = """
 , hbits AS (
     SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
     FROM shingles
@@ -1145,6 +1145,12 @@ banded AS (
     SELECT doc_id, fp, b.b, (fp >> (b.b * 15)) & 32767 AS key
     FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) b
 )
+"""
+
+DEDUP_SIMHASH_SQL = (
+    _NEARDUP_SQL_CTE
+    + _SIMHASH_CTES
+    + """
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
 FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
@@ -1169,27 +1175,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_COMPONENTS_SQL = (
     _NEARDUP_SQL_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _SIMHASH_CTES
     + """
-, hbits AS (
-    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
-    FROM shingles
-),
-bitsum AS (
-    SELECT doc_id, p.p,
-           sum(((h >> p.p) & 1) * 2 - 1) AS s
-    FROM hbits, (SELECT unnest(generate_series(0, 59)) AS p) p
-    GROUP BY doc_id, p.p
-),
-fps AS (
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS fp
-    FROM bitsum GROUP BY doc_id
-),
-banded AS (
-    SELECT doc_id, fp, b.b, (fp >> (b.b * 15)) & 32767 AS key
-    FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) b
-),
-pairs AS (
+, pairs AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
     WHERE x.doc_id < y.doc_id AND bit_count(xor(x.fp, y.fp)) <= 3
