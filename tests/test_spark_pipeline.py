@@ -156,3 +156,46 @@ def test_conv_report_equals_window_reference(spark, fixture_dir,
         assert r["top_lang"] == ref_top.get(conv_id)
     # sanity: the fixture corpus has at least one dominant language
     assert any(r["top_lang"] is not None for r in got.values())
+
+
+def test_model_artifact_roundtrip(oracle_model, tmp_path):
+    """save_model/load_model: bit-exact round-trip (fingerprint-verified),
+    corrupt artifacts rejected, future format versions rejected."""
+    import gzip
+    import json
+
+    import pytest
+
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.model.artifacts import load_model, save_model
+
+    v, tm, _rows = oracle_model
+    model = FilterModel.from_vocabulary(v, tm)
+    path = str(tmp_path / "model.json.gz")
+    fp = save_model(model, path)
+
+    loaded = load_model(path)
+    assert loaded.vocab == model.vocab
+    assert loaded.tri_logprob == model.tri_logprob
+    assert loaded.tri_backoff == model.tri_backoff
+
+    with gzip.open(path, "rt") as f:
+        payload = json.load(f)
+    assert payload["fingerprint"] == fp
+
+    # tamper with a score: fingerprint check must reject
+    lang = next(iter(payload["vocab"]))
+    word = next(iter(payload["vocab"][lang]), None)
+    if word is not None:
+        payload["vocab"][lang][word] = 0.123456
+    bad = str(tmp_path / "bad.json.gz")
+    with gzip.open(bad, "wt") as f:
+        json.dump(payload, f)
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_model(bad)
+
+    payload["format_version"] = 999
+    with gzip.open(bad, "wt") as f:
+        json.dump(payload, f)
+    with pytest.raises(ValueError, match="version"):
+        load_model(bad)
