@@ -997,6 +997,63 @@ FROM (
 """
 
 
+_HAN26 = "一二三四五六七八九十百千万上下左右中大小人口手日月火"
+
+
+def tokenize_per_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-4 (Language.scala:407-413) HOSTED in the contract: the [a-z]
+    fixture text is deterministically transliterated to Han (translate
+    a->一 ... z->火), run through the refmodel's per-char tokenizer for
+    Chinese (each valid letter char = one token, spaces drop), and
+    exploded with token position.  All 26 mapped chars are verified
+    members of the Chinese alphabet (Han script), so the oracle reduces
+    to a positional character explode -- which is exactly the per-char
+    semantics being pinned."""
+    from .refmodel.tokenizer import split_words
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 17 = 0")
+
+    def run(batches):
+        import pandas as pd
+
+        table = str.maketrans(
+            dict(zip("abcdefghijklmnopqrstuvwxyz", _HAN26))
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "pos": [], "ch": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t2 = (text if isinstance(text, str) else "").translate(table)
+                for i, tok in enumerate(split_words(t2, "chinese")):
+                    out["doc_id"].append(doc_id)
+                    out["pos"].append(i)
+                    out["ch"].append(tok)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, pos int, ch string"
+    )
+
+
+TOKENIZE_PER_CHAR_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_HAN26}') AS tx
+    FROM documents WHERE doc_id % 17 = 0
+),
+chars AS (
+    SELECT doc_id, i.i, substr(tx, i.i, 1) AS ch
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(1, length(tx))) AS i
+    ) i
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
+           AS pos,
+       ch
+FROM chars WHERE ch <> ' '
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash)
 # ---------------------------------------------------------------------------
@@ -2501,6 +2558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": events_hourly,
     "lang_resolution": lang_resolution,
     "tokenize_explode": tokenize_explode,
+    "tokenize_per_char": tokenize_per_char,
     "vocab_build": vocab_build,
     "classify_relational": classify_relational,
     "classify_vectorized": classify_vectorized,
@@ -2560,6 +2618,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "lang_resolution": LANG_RESOLUTION_SQL,
     "tokenize_explode": TOKENIZE_EXPLODE_SQL,
+    "tokenize_per_char": TOKENIZE_PER_CHAR_SQL,
     "vocab_build": VOCAB_BUILD_SQL,
     "classify_relational": CLASSIFY_SQL,
     "classify_vectorized": CLASSIFY_SQL,  # kernel must equal the relational path
