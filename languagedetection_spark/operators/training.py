@@ -72,8 +72,10 @@ def _classify_batch_distributed(
                 out["n"].append(len(best_tokens))
             yield pd.DataFrame(out)
 
+    # createDataFrame already slices the local batch across
+    # defaultParallelism partitions -- no repartition (= no shuffle) needed
     df = spark.createDataFrame(texts, "seq long, text string")
-    res = df.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+    res = df.mapInPandas(
         run,
         schema="seq long, winner string, tokens array<string>, "
                "total double, n int",
