@@ -100,13 +100,15 @@ labeled AS (
 vocab AS (
     SELECT DISTINCT l.language, t.word, 1.0 AS score
     FROM labeled l,
-         LATERAL (SELECT unnest(string_split(l.text, ' ')) AS word) t
+         LATERAL (SELECT unnest(string_split_regex(lower(l.text), '\\s+'))
+                  AS word) t
     WHERE t.word <> '' AND regexp_matches(t.word, l.token_pattern)
 ),
 toks AS (
     SELECT d.doc_id, t.word
     FROM documents d,
-         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+         LATERAL (SELECT unnest(string_split_regex(lower(d.text), '\\s+'))
+                  AS word) t
     WHERE t.word <> ''
 ),
 scored AS (
@@ -363,17 +365,19 @@ def tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the split is the whole tokenizer."""
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("word")
+        )
         .filter("word <> ''")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
 
 
-TOKENIZE_EXPLODE_SQL = """
+TOKENIZE_EXPLODE_SQL = r"""
 SELECT t.word, count(*) AS cnt
 FROM documents d,
-     LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+     LATERAL (SELECT unnest(string_split_regex(lower(d.text), '\s+')) AS word) t
 WHERE t.word <> ''
 GROUP BY t.word
 """
@@ -391,7 +395,9 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         d.join(F.broadcast(dim), d.lang == dim.iso)
         .select("language", "token_pattern",
-                F.explode(F.split("text", " ")).alias("word"))
+                F.explode(
+                    F.split(F.lower(F.col("text")), "\\s+")
+                ).alias("word"))
         .filter("word <> ''")
         .distinct()
     )
@@ -412,7 +418,8 @@ WITH labeled AS (
 )
 SELECT DISTINCT l.language, t.word, 1.0 AS score, TRUE AS is_axiom
 FROM labeled l,
-     LATERAL (SELECT unnest(string_split(l.text, ' ')) AS word) t
+     LATERAL (SELECT unnest(string_split_regex(lower(l.text), '\\s+'))
+              AS word) t
 WHERE t.word <> '' AND regexp_matches(t.word, l.token_pattern)
 """
 
@@ -429,7 +436,8 @@ def classify_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map work (at real scale the scan itself yields thousands of splits)
     d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("word"),
     ).filter("word <> ''")
     scored = (
         toks.join(F.broadcast(vocab), "word")
@@ -629,7 +637,10 @@ def pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
-            F.substring("text", 1, 40),
+            # coalesce: concat is NULL-propagating, and a NULL raw would
+            # reach the scrub kernel as None (crash) while the oracle's ||
+            # would emit NULL -- both sides pin '' instead
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
             F.lit(" contact user"), F.col("doc_id"),
             F.lit("@example.com or 192.168.0."), F.col("doc_id") % 256,
             F.lit(" ssn 123-45-6789 frak"),
@@ -644,7 +655,10 @@ def pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "scrubbed_text": [m.scrub(t) for t in pdf["raw"]],
+                    "scrubbed_text": [
+                        m.scrub(t) if isinstance(t, str) else None
+                        for t in pdf["raw"]
+                    ],
                 }
             )
 
@@ -666,7 +680,7 @@ _SCRUB_SQL_CHAIN = (
 PIPELINE_SCRUB_SQL = f"""
 WITH raws AS (
     SELECT doc_id,
-           substring(text, 1, 40) || ' contact user' || doc_id ||
+           substring(coalesce(text, ''), 1, 40) || ' contact user' || doc_id ||
            '@example.com or 192.168.0.' || (doc_id % 256) ||
            ' ssn 123-45-6789 frak' AS raw
     FROM documents
@@ -898,11 +912,15 @@ def langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     dim = _dim_df(spark).select("iso", "language")
 
-    # char 3-grams via substr over a position sequence (JVM-side)
+    # char 3-grams via substr over a position sequence (JVM-side).  Rows
+    # with < 3 chars are filtered FIRST: sequence(1, 0) descends in Spark
+    # ([1, 0]), fabricating phantom grams that generate_series never emits.
     def grams(frame, *id_cols):
-        idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+        idx = F.sequence(F.lit(1), F.length("text") - 2)
         g = F.explode(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3))))
-        return frame.select(*id_cols, g.alias("g"))
+        return frame.filter(F.length("text") >= 3).select(
+            *id_cols, g.alias("g")
+        )
 
     bucket = (
         F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
@@ -1472,11 +1490,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
-       CAST(list_reduce(
-           list_prepend(0::HUGEINT,
-               list_transform(string_split_regex(text, ''), c -> unicode(c)::HUGEINT)),
-           (h, o) -> (h * 131 + o) % 2305843009213693951
-       ) AS BIGINT) AS fp
+       CASE WHEN coalesce(text, '') = '' THEN 0  -- kernel: None/'' fold to 0
+            ELSE CAST(list_reduce(
+                list_prepend(0::HUGEINT,
+                    list_transform(string_split_regex(text, ''),
+                                   c -> unicode(c)::HUGEINT)),
+                (h, o) -> (h * 131 + o) % 2305843009213693951
+            ) AS BIGINT) END AS fp
 FROM documents
 """
 
@@ -1835,12 +1855,15 @@ def pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- trigram model from the labeled subset ----------------------------
+    # (< 3-char rows filtered first -- Spark's sequence(1, 0) descends)
     def grams(frame, *id_cols):
-        idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0)))
+        idx = F.sequence(F.lit(1), F.length("text") - 2)
         g = F.explode(
             F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3)))
         )
-        return frame.select(*id_cols, g.alias("tri"))
+        return frame.filter(F.length("text") >= 3).select(
+            *id_cols, g.alias("tri")
+        )
 
     labeled = d.filter("source = 'src0'").join(
         F.broadcast(dim), d.lang == dim.iso

@@ -38,15 +38,22 @@ SIMHASH_BAND_BITS = 15
 
 def shingle_df(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (split on single spaces)."""
+    """Distinct word n-gram shingles per document (split on single spaces).
+
+    Docs with fewer than *n* tokens are filtered BEFORE the position
+    sequence: Spark's ``sequence(1, 0)`` DESCENDS (returns [1, 0]), so the
+    unguarded form fabricated phantom shingles for short/empty/NULL texts
+    (SQL ``generate_series(1, 0)`` is empty -- the engines disagree
+    exactly off the fixture domain)."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(shingles).alias("shingle"))
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -245,15 +252,19 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
         shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.int64)
         for pdf in batches:
-            fps = []
-            for text in pdf[text_col]:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in (text or "").split(" ") if t]
                 shingles = {
                     " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
                 }
                 if not shingles:
-                    fps.append(0)
+                    # no signature: emitting fp=0 would cluster every
+                    # shingle-less doc into one fake hamming-0 'near-dup'
+                    # group (and diverge from the relational oracle, where
+                    # such docs simply have no rows)
                     continue
+                ids.append(doc_id)
                 # one md5 per shingle, then ONE vectorized (n, 60) bit
                 # matrix: sum(2b-1) = 2*sum(b) - n per bit position
                 hs = np.fromiter(
@@ -266,7 +277,7 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id",
                 acc = 2 * ones - np.int64(len(shingles))
                 fp = int(((acc > 0) * weights).sum())
                 fps.append(fp)
-            yield pd.DataFrame({"doc_id": pdf[id_col], "fp": fps})
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
     return docs.mapInPandas(run, schema="doc_id long, fp long")
 

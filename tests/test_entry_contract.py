@@ -76,10 +76,26 @@ def test_fixture_text_domain_precondition():
         assert (bad, nulls, short) == (0, 0, 0), sf
 
 
-def test_oracle_edge_documents(spark, tmp_path):
-    """Gram-less / empty / NULL / whitespace-heavy docs: the Spark kernels
-    and their DuckDB SQL twins must agree even off the fixture domain
-    (round-1 ADVICE: these used to be fixture-pinned latent gaps)."""
+# every documents-only query must survive off-domain input: Spark's
+# sequence(1, 0) DESCENDS where generate_series is empty, concat is
+# NULL-propagating, fp=0 signatures collide -- each was a real divergence
+# found (and fixed) by this sweep in round 2
+EDGE_SAFE_QUERIES = (
+    "langid_fasttext", "multimodal_decode", "multimodal_frames",
+    "tokenize_explode", "tokenize_per_char", "vocab_build",
+    "classify_relational", "classify_vectorized", "accuracy_metrics",
+    "confusion_matrix", "pipeline_scrub", "doc_fingerprint",
+    "langid_hashed_ngram", "langid_heuristic", "pipeline_keep",
+    "conv_quality_report", "word_cumsum", "doc_token_stats",
+    "doc_quality_score", "bpe_token_count", "holdout_split", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_components", "decontaminate", "sample_stratified",
+    "streaming_dedup",
+)
+
+
+@pytest.fixture(scope="module")
+def edge_docs_dir(tmp_path_factory):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -91,25 +107,36 @@ def test_oracle_edge_documents(spark, tmp_path):
         (4, "en", "src1", "  the\tquick\n fox  "),  # exotic whitespace
         (5, "en", "src1", None),                    # NULL text
         (6, "en", "src1", "the quick brown fox"),
+        (7, "fr", "src2", "le renard brun rapide saute par dessus le chien"),
     ]
+    d = tmp_path_factory.mktemp("edge_docs")
     tbl = pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "lang": [r[1] for r in rows],
         "source": [r[2] for r in rows],
         "text": [r[3] for r in rows],
     })
-    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EDGE_SAFE_QUERIES)
+def test_oracle_edge_documents(name, spark, edge_docs_dir):
+    """Gram-less / empty / NULL / whitespace-heavy docs: the Spark side and
+    its DuckDB twin must agree even off the fixture domain (the round-1
+    ADVICE found two fixture-pinned gaps this way; this pins the whole
+    documents-only family)."""
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_docs_dir}/documents.parquet'"
     )
-    for name in ("langid_fasttext", "multimodal_decode"):
-        df = entry_mod.queries()[name](spark, str(tmp_path))
-        s_cols, s_rows = _norm(df.columns, [tuple(r) for r in df.collect()])
-        res = con.execute(entry_mod.oracle_sql()[name])
-        d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
-        assert s_cols == d_cols, name
-        assert s_rows == d_rows, name
+    df = entry_mod.queries()[name](spark, edge_docs_dir)
+    s_cols, s_rows = _norm(df.columns, [tuple(r) for r in df.collect()])
+    res = con.execute(entry_mod.oracle_sql()[name])
+    d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
+    assert s_cols == d_cols, name
+    assert s_rows == d_rows, name
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
