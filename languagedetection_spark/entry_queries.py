@@ -2537,11 +2537,14 @@ SELECT doc_id,
        list_extract(['image', 'audio', 'video'],
                     CAST(doc_id % 3 AS INTEGER) + 1) AS modality,
        CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
-       round(coalesce((length(text) - length(replace(text, ' ', '')))
+       -- the kernel's features are NIBBLE-BIN byte histograms: bin 2 =
+       -- 0x20-0x2F (space..'/'), bin 6 = 0x60-0x6F ('`'..'o'), bin 7 =
+       -- 0x70-0x7F ('p'..DEL); ASCII text, so chars == bytes
+       round(coalesce(length(regexp_replace(text, '[^ -/]', '', 'g'))
              / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) AS f_space,
-       round(coalesce(length(regexp_replace(text, '[^a-o]', '', 'g'))
+       round(coalesce(length(regexp_replace(text, '[^`-o]', '', 'g'))
              / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) AS f_ao,
-       round(coalesce(length(regexp_replace(text, '[^p-z]', '', 'g'))
+       round(coalesce(length(regexp_replace(text, '[^p-\\x7f]', '', 'g'))
              / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6) AS f_pz
 FROM documents
 """

@@ -108,6 +108,9 @@ def edge_docs_dir(tmp_path_factory):
         (5, "en", "src1", None),                    # NULL text
         (6, "en", "src1", "the quick brown fox"),
         (7, "fr", "src2", "le renard brun rapide saute par dessus le chien"),
+        # uppercase / digits / punctuation: lowercasing twins + nibble-bin
+        # feature ranges must hold beyond [a-z ]
+        (8, "en", "src1", "The QUICK Brown FOX says 123 woof!! (maybe)"),
     ]
     d = tmp_path_factory.mktemp("edge_docs")
     tbl = pa.table({
