@@ -689,11 +689,23 @@ SELECT doc_id, {_SCRUB_SQL_CHAIN} AS scrubbed_text FROM raws
 """
 
 
+# shared by every similarity oracle: the SQL twin of
+# operators.similarity.valid_embeddings (NULL / null-element / zero
+# vectors have no cosine and hard-error in both engines)
+_VALID_EMB_SQL = """embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0"""
+
+
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for query vectors (vec_id < 20).
     JVM-side math: zip_with product + aggregate fold in double precision;
     the query side is broadcast (no shuffle of the big side)."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    from .operators.similarity import valid_embeddings
+
+    e = valid_embeddings(
+        _t(spark, sf_dir, "embeddings"), "embedding"
+    ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     norm = lambda c: F.sqrt(
@@ -729,7 +741,10 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_TOPK_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
 q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
 pairs AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -1379,6 +1394,9 @@ WITH e AS (
           + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
           + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS code
     FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 q AS (SELECT vec_id AS query_id, emb AS qemb, code FROM e WHERE vec_id < 20),
 pairs AS (
@@ -1417,12 +1435,15 @@ def _lsh_code_sql(offset: int, n_bits: int) -> str:
 
 _ANN_MT_CODES = "\nUNION ALL\n".join(
     f"    SELECT vec_id, {t} AS t, {_lsh_code_sql(t * 4, 4)} AS c"
-    f" FROM embeddings"
+    f" FROM embeddings WHERE {_VALID_EMB_SQL}"
     for t in range(8)
 )
 
 ANN_MULTITABLE_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
 codes AS (
 {_ANN_MT_CODES}
 ),
@@ -1468,6 +1489,9 @@ WITH e AS (
           + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
           + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS code
     FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
@@ -2186,7 +2210,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_IVF_SQL = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
 q AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
       FROM e WHERE vec_id < 20),
 pairs AS (
@@ -2216,7 +2243,10 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_SQ_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
 rec AS (
     SELECT vec_id,
            list_transform(

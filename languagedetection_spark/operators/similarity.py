@@ -22,9 +22,27 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def valid_embeddings(df: DataFrame, emb_col: str) -> DataFrame:
+    """Drop degenerate vectors BEFORE any cosine math: NULL embeddings,
+    embeddings containing NULL elements, and zero/empty vectors (no
+    direction -> no cosine; both Spark's ANSI divide and DuckDB's
+    list_cosine_similarity hard-error on them, and real pipelines do see
+    null/zero rows).  Every similarity operator and its SQL oracle apply
+    the same three filters."""
+    col = F.col(emb_col)
+    no_nulls = ~F.exists(col, lambda x: x.isNull())
+    sq_sum = F.aggregate(
+        F.transform(col, lambda x: x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x * x,
+    )
+    return df.filter(col.isNotNull() & no_nulls & (sq_sum > 0))
+
+
 def _with_norm(df: DataFrame, emb_col: str) -> DataFrame:
     emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    return df.withColumn("_emb", emb).withColumn(
+    return valid_embeddings(df, emb_col).withColumn(
+        "_emb", emb
+    ).withColumn(
         "_nrm",
         F.sqrt(F.aggregate("_emb", F.lit(0.0), lambda a, x: a + x * x)),
     )
@@ -267,7 +285,7 @@ def ann_sq_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
     asymmetric cosine against the exact query, rank per query.  The plan
     is the exact-baseline's broadcast scan shape at a quarter of the
     bytes; recall vs the exact baseline is test-pinned."""
-    base = df.select(
+    base = valid_embeddings(df, emb_col).select(
         F.col(id_col).alias("neighbor_id"), sq_encode(emb_col).alias("_code")
     ).select(
         "neighbor_id", F.col("_code"), sq_reconstruct(F.col("_code")).alias("_emb")
