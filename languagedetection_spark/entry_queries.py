@@ -245,9 +245,13 @@ def supplier_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
         .agg(F.sum("l_quantity").alias("qty"))
     )
+    # explicit NULLS LAST: Spark's ASC default is NULLS FIRST, DuckDB's is
+    # NULLS LAST -- a nullable order column silently reorders the prefix
+    # scan between engines unless pinned
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(F.asc_nulls_last("l_shipdate"), "l_orderkey",
+                 "l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return l.select(
@@ -267,7 +271,7 @@ WITH agg AS (
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(qty) OVER (
            PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
 FROM agg
 """
@@ -2481,7 +2485,10 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile ranking window: per-event-type value quartiles with a
     deterministic (value, event_id) order, then a quartile profile."""
     e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST pinned: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST
+    w = W.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     return (
         e.withColumn("q", F.ntile(4).over(w))
         .groupBy("event_type", "q")
@@ -2495,7 +2502,7 @@ SELECT event_type, q, count(*) AS n, round(avg(value), 4) AS avg_value
 FROM (
     SELECT event_type, value,
            ntile(4) OVER (PARTITION BY event_type
-                          ORDER BY value, event_id) AS q
+                          ORDER BY value NULLS LAST, event_id) AS q
     FROM events
 )
 GROUP BY event_type, q

@@ -194,6 +194,65 @@ def test_oracle_edge_embeddings(name, spark, edge_embeddings_dir):
     assert s_rows == d_rows, name
 
 
+EDGE_RELATIONAL_QUERIES = (
+    "q1_pricing_summary", "revenue_by_nation", "order_argmax_per_customer",
+    "supplier_running_total", "semi_anti_customers", "set_ops_parts",
+    "rollup_revenue", "cube_revenue", "pivot_events", "json_events",
+    "asof_last_purchase", "range_join_tiers", "percentile_stats",
+    "ntile_value_quartiles", "full_outer_nation_counts", "events_hourly",
+    "events_sessionize", "approx_aggregates",
+)
+
+_EDGE_NULLABLE = {
+    "lineitem": ["l_shipdate", "l_extendedprice", "l_quantity",
+                 "l_returnflag"],
+    "orders": ["o_totalprice", "o_orderdate"],
+    "customer": ["c_nationkey", "c_name"],
+    "supplier": ["s_nationkey"],
+    "events": ["value", "event_type", "payload"],
+}
+
+
+@pytest.fixture(scope="module")
+def edge_tpch_dir(tmp_path_factory):
+    """Every 7th value NULLed in the columns the relational family touches:
+    NULL group keys, NULL window-order columns (Spark ASC defaults NULLS
+    FIRST, DuckDB NULLS LAST -- pinned explicitly in the queries), NULL
+    aggregates and join keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = SF_DIR
+    d = tmp_path_factory.mktemp("edge_tpch")
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        tbl = tbl.slice(0, min(tbl.num_rows, 400))
+        cols = {}
+        for name in tbl.column_names:
+            arr = tbl.column(name).to_pylist()
+            if name in _EDGE_NULLABLE.get(t, []):
+                for i in range(0, len(arr), 7):
+                    arr[i] = None
+            cols[name] = pa.array(arr, tbl.schema.field(name).type)
+        pq.write_table(pa.table(cols), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EDGE_RELATIONAL_QUERIES)
+def test_oracle_edge_relational(name, spark, edge_tpch_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_tpch_dir}/{t}.parquet'"
+        )
+    df = entry_mod.queries()[name](spark, edge_tpch_dir)
+    s_cols, s_rows = _norm(df.columns, [tuple(r) for r in df.collect()])
+    res = con.execute(entry_mod.oracle_sql()[name])
+    d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
+    assert s_cols == d_cols, name
+    assert s_rows == d_rows, name
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_matches_oracle(name, spark, duck):
     fn = entry_mod.queries()[name]
