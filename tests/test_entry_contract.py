@@ -81,6 +81,7 @@ def test_fixture_text_domain_precondition():
 # NULL-propagating, fp=0 signatures collide -- each was a real divergence
 # found (and fixed) by this sweep in round 2
 EDGE_SAFE_QUERIES = (
+    "lang_resolution",
     "langid_fasttext", "multimodal_decode", "multimodal_frames",
     "tokenize_explode", "tokenize_per_char", "vocab_build",
     "classify_relational", "classify_vectorized", "accuracy_metrics",
