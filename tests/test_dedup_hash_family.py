@@ -1,12 +1,15 @@
 """Differential tests for the MinHash hash-family twins (VERDICT r2 ask #3).
 
 The md5 family is the CONTRACT form (bit-reproducible in DuckDB via
-md5_number_lower -> oracle-checkable).  The xxhash64 family is the PRODUCTION
-form: one whole-stage-codegen expression, no Python workers, no Arrow
-transfer.  Different base hash => different LSH randomness => candidate sets
-may differ; what must agree is the OUTPUT CONTRACT: verified near-dup pairs
-at the Jaccard threshold, because verification is exact Jaccard over the
-same shingles regardless of which family proposed the candidate.
+md5_number_lower -> oracle-checkable) and, measured, also the FASTEST form
+(Arrow+numpy beats interpreted JVM higher-order functions ~2.5x per core --
+see minhash_signatures_native_df's docstring).  The xxhash64 family is the
+pure-JVM option for Python-worker-free deployments: one map-only fold
+expression, no Python workers, no Arrow transfer.  Different base hash =>
+different LSH randomness => candidate sets may differ; what must agree is
+the OUTPUT CONTRACT: verified near-dup pairs at the Jaccard threshold,
+because verification is exact Jaccard over the same shingles regardless of
+which family proposed the candidate.
 """
 
 import os
