@@ -85,6 +85,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted entries are non-SQL-
     expressible ops checked rows-only by the driver)."""
-    from languagedetection_spark.entry_queries import ORACLE_SQL
+    from languagedetection_spark.entry_queries import (
+        ORACLE_SQL,
+        _axiom_dist_goldens_sql,
+        _fold_goldens_sql,
+    )
 
-    return dict(ORACLE_SQL)
+    d = dict(ORACLE_SQL)
+    # the two golden-fold oracles embed per-fixture golden rows: rebuild
+    # them at CALL time (cached after the first build) so a testdata tree
+    # regenerated after module import, or a non-default SPARK_GRAFT_SF_DIR
+    # root, still gets freshly-validated goldens (ADVICE r2)
+    d["mean_adjust_fold"] = _fold_goldens_sql()
+    d["axiom_distribution"] = _axiom_dist_goldens_sql()
+    return d

@@ -1071,6 +1071,31 @@ def tokenize_per_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chinese_keep_ranges() -> list[tuple[int, int]]:
+    """Merged BMP codepoint ranges of EXACTLY the chars the per-char
+    tokenizer keeps for Chinese (java-letter AND Han-script membership,
+    tokenizer.py:71-77) -- derived from the refmodel itself so the SQL
+    twin's keep-set is provably the kernel's keep-set, off-domain input
+    included (ADVICE r2: uppercase/digits/punctuation survive translate
+    and must be dropped by BOTH sides, not just Python)."""
+    from .refmodel.alphabets import ALPHABET
+    from .refmodel.tokenizer import _is_java_letter
+
+    alpha = ALPHABET["chinese"]
+    ranges: list[list[int]] = []
+    for cp in range(0x10000):
+        if _is_java_letter(chr(cp)) and chr(cp) in alpha:
+            if ranges and cp == ranges[-1][1] + 1:
+                ranges[-1][1] = cp
+            else:
+                ranges.append([cp, cp])
+    return [(a, b) for a, b in ranges]
+
+
+_CHINESE_KEEP_PRED = " OR ".join(
+    f"unicode(ch) BETWEEN {a} AND {b}" for a, b in _chinese_keep_ranges()
+)
+
 TOKENIZE_PER_CHAR_SQL = f"""
 WITH t AS (
     SELECT doc_id,
@@ -1087,7 +1112,7 @@ SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
            AS pos,
        ch
-FROM chars WHERE ch <> ' '
+FROM chars WHERE {_CHINESE_KEEP_PRED}
 """
 
 
@@ -1833,12 +1858,20 @@ def _fold_goldens_sql() -> str:
                 f"{'TRUE' if ax else 'FALSE'})"
             )
     values = ",\n    ".join(rows)
+    # the sentinel branch makes a fixture with NO golden key fail loudly
+    # ('NO GOLDEN ...' in the diff) instead of as a bare row-count
+    # mismatch against zero oracle rows (ADVICE r2)
     return f"""
 WITH sfkey AS (SELECT count(*) AS c FROM lineitem),
 golden(sfc, language, word, score, is_axiom) AS (VALUES
     {values})
 SELECT language, word, CAST(score AS DOUBLE) AS score, is_axiom
 FROM golden WHERE sfc = (SELECT c FROM sfkey)
+UNION ALL
+SELECT 'NO GOLDEN FOR lineitem count ' || (SELECT c FROM sfkey),
+       'regenerate via tools/gen_fold_goldens.py',
+       CAST(0.0 AS DOUBLE), FALSE
+WHERE NOT EXISTS (SELECT 1 FROM golden WHERE sfc = (SELECT c FROM sfkey))
 """
 
 
@@ -1858,6 +1891,10 @@ golden(sfc, language, n_axioms, n_inductions) AS (VALUES
 SELECT language, CAST(n_axioms AS BIGINT) AS n_axioms,
        CAST(n_inductions AS BIGINT) AS n_inductions
 FROM golden WHERE sfc = (SELECT c FROM sfkey)
+UNION ALL
+SELECT 'NO GOLDEN FOR lineitem count ' || (SELECT c FROM sfkey),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+WHERE NOT EXISTS (SELECT 1 FROM golden WHERE sfc = (SELECT c FROM sfkey))
 """
 
 

@@ -83,14 +83,32 @@ def doc_fingerprint(sf_dir: str) -> str:
 _CURRENT_CACHE: dict = {}
 
 
+def default_root() -> str:
+    """Testdata root to validate goldens against: derived from the sf dir
+    actually being exercised (``SPARK_GRAFT_SF_DIR``) when set, so a
+    contract run pointed at a non-default testdata tree validates THAT
+    tree instead of a hardcoded constant (ADVICE r2)."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if sf:
+        return os.path.dirname(os.path.abspath(sf.rstrip("/")))
+    return "/root/testdata"
+
+
 def current_goldens(
-    root: str = "/root/testdata",
+    root: str | None = None,
     sfs: tuple[str, ...] = ("sf0.001", "sf0.01", "sf0.1"),
 ) -> tuple[dict[int, list], dict[int, list]]:
     """(fold_goldens, axiom_dist_goldens) per sf key, VALIDATED against the
     live testdata: frozen rows where the documents fingerprint still
     matches, live pure-fold recompute where it does not (or the key is
     new).  Keys whose sf dirs are absent fall back to the frozen rows."""
+    if root is None:
+        root = default_root()
+        env_sf = os.environ.get("SPARK_GRAFT_SF_DIR")
+        if env_sf:  # validate the exercised dir even under a custom name
+            base = os.path.basename(os.path.abspath(env_sf.rstrip("/")))
+            if base not in sfs:
+                sfs = sfs + (base,)
     cached = _CURRENT_CACHE.get((root, sfs))
     if cached is not None:
         return cached

@@ -196,12 +196,21 @@ def train_hashed_ngram_distributed(labeled, lang_col: str = "language",
         import pandas as pd
 
         agg: Counter = Counter()
+        seen: set = set()
         for pdf in batches:
             for lang, text in zip(pdf[lang_col], pdf[text_col]):
+                seen.add(lang)
                 for b in text_buckets(
                     text if isinstance(text, str) else ""
                 ).tolist():
                     agg[(lang, b)] += 1
+        # b = -1 marker registers languages whose every text yielded zero
+        # buckets (real buckets are >= 0): the local twin's per-row
+        # counts.setdefault registers them, so 'bit-identical to train'
+        # must too (an unregistered language would silently drop out of
+        # langs/tables/backoff)
+        for lang in seen:
+            agg.setdefault((lang, -1), 0)
         yield pd.DataFrame({
             "language": [k[0] for k in agg],
             "b": [k[1] for k in agg],
@@ -217,7 +226,9 @@ def train_hashed_ngram_distributed(labeled, lang_col: str = "language",
     )
     counts: dict[str, dict[int, int]] = {}
     for r in rows:
-        counts.setdefault(r["language"], {})[int(r["b"])] = int(r["c"])
+        bag = counts.setdefault(r["language"], {})
+        if int(r["b"]) >= 0:
+            bag[int(r["b"])] = int(r["c"])
     return HashedNgramModel.from_counts(counts, alpha)
 
 

@@ -66,6 +66,19 @@ def main(argv: list[str] | None = None) -> int:
                         "bucketed batch writer")
     args = p.parse_args(argv)
 
+    if args.conv_report:
+        import os as _os
+
+        # a conv-report target nested under --output would be re-ingested
+        # as input on a rerun (streaming reads the sink dir whole; batch
+        # formerly globbed around it) and corrupt the rollup -- reject it
+        # up-front in BOTH modes
+        _out = _os.path.realpath(args.output)
+        _rep = _os.path.realpath(args.conv_report)
+        if _rep == _out or _rep.startswith(_out + _os.sep):
+            p.error(f"--conv-report ({args.conv_report}) must not be "
+                    f"nested under --output ({args.output})")
+
     from ..functions.udfs import broadcast_model
     from ..operators.quality_filter import quality_filter
     from ..plans.session import get_spark

@@ -137,13 +137,22 @@ def trigram_counts_df(corpus: DataFrame, lang_col: str = "language",
         from ..refmodel.quality import TrigramModel
 
         agg: Counter = Counter()
+        seen: set = set()
         for pdf in batches:
             for lang, text in zip(pdf[lang_col], pdf[text_col]):
+                seen.add(lang)
                 norm = TrigramModel._norm(
                     text if isinstance(text, str) else ""
                 )
                 for i in range(len(norm) - 2):
                     agg[(lang, norm[i:i + 3])] += 1
+        # tri = '' marker registers languages whose every text is shorter
+        # than 3 normalized chars (real trigrams have length 3): the local
+        # twin (TrigramModel.train) registers them per row via setdefault,
+        # giving an empty table and backoff log(1) = 0.0 -- an unregistered
+        # language would instead vanish from the model
+        for lang in seen:
+            agg.setdefault((lang, ""), 0)
         yield pd.DataFrame({
             "language": [k[0] for k in agg],
             "tri": [k[1] for k in agg],
@@ -178,12 +187,15 @@ def build_model_distributed(spark: SparkSession, corpus: DataFrame):
     counts: dict[str, dict[str, int]] = {}
     totals: dict[str, int] = {}
     for r in trigram_counts_df(corpus).collect():
-        counts.setdefault(r["language"], {})[r["tri"]] = r["c"]
+        bag = counts.setdefault(r["language"], {})
+        if r["tri"] == "":  # per-language registration marker
+            continue
+        bag[r["tri"]] = r["c"]
         totals[r["language"]] = totals.get(r["language"], 0) + r["c"]
     logprob: dict[str, dict[str, float]] = {}
     backoff: dict[str, float] = {}
     for lang, bag in counts.items():
-        total = totals[lang]
+        total = totals.get(lang, 0)  # 0 for marker-only (empty-bag) langs
         vsize = len(bag) + 1
         denom = total + vsize
         logprob[lang] = {

@@ -109,7 +109,11 @@ class TrigramModel:
         logprob: dict[str, dict[str, float]] = {}
         backoff: dict[str, float] = {}
         for lang, bag in counts.items():
-            total = totals[lang]
+            # a language whose every text is < 3 normalized chars has an
+            # empty bag and no totals entry: register it (empty table,
+            # backoff log(alpha/alpha) = 0.0) instead of crashing -- the
+            # distributed twin registers it the same way via marker rows
+            total = totals.get(lang, 0)
             vsize = len(bag) + 1
             denom = total + alpha * vsize
             logprob[lang] = {

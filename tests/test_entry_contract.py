@@ -112,6 +112,10 @@ def edge_docs_dir(tmp_path_factory):
         # uppercase / digits / punctuation: lowercasing twins + nibble-bin
         # feature ranges must hold beyond [a-z ]
         (8, "en", "src1", "The QUICK Brown FOX says 123 woof!! (maybe)"),
+        # doc_id 17 % 17 = 0: the per-char tokenizer's own filter only
+        # sees doc_id % 17 = 0 rows, so the off-domain coverage of doc 8
+        # never reached it (ADVICE r2) -- this row does
+        (17, "en", "src1", "The QUICK fox 123! and (punct), mixed CASE"),
     ]
     d = tmp_path_factory.mktemp("edge_docs")
     tbl = pa.table({
@@ -270,3 +274,44 @@ def test_query_matches_oracle(name, spark, duck):
     assert spark_cols == duck_cols
     assert len(spark_rows) == len(duck_rows)
     assert spark_rows == duck_rows
+
+
+def test_tokenize_per_char_real_han_parity(spark, tmp_path):
+    """Real Han chars (untouched by the a-z transliteration) plus ASCII
+    noise: the SQL twin's keep-set is generated from the refmodel's own
+    java-letter ∩ Han ranges, so both sides must keep exactly the Han
+    letters and drop everything else."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, "zh", "src1", "中文 Hello 世界 123 界!"),
+        (17, "zh", "src1", "〇一二〢 㐀 galaxy"),  # 〇 Nl numeral, 〢 Hangzhou
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": [r[1] for r in rows],
+        "source": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+    })
+    d = tmp_path / "han"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet'"
+    )
+    df = entry_mod.queries()["tokenize_per_char"](spark, str(d))
+    s_cols, s_rows = _norm(df.columns, [tuple(r) for r in df.collect()])
+    res = con.execute(entry_mod.oracle_sql()["tokenize_per_char"])
+    d_cols, d_rows = _norm([c[0] for c in res.description], res.fetchall())
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+    # the kernel semantics themselves: doc 0 keeps 中文世界界 (+ translated
+    # a-z letters from 'Hello'/'galaxy' path? no -- uppercase H stays, 'ello'
+    # translates to Han26) -- just pin that at least the real Han survived
+    kept = {r[0] for r in s_rows}  # _norm sorts cols to (ch, doc_id, pos)
+    assert "中" in kept
+    assert not kept & set("0123456789!HQ 〇〢")

@@ -143,3 +143,31 @@ def test_distributed_training_equals_local(spark, oracle_model):
         hb, hp = got.tables[lang]
         assert np.array_equal(gb, hb)
         assert np.array_equal(gp, hp)
+
+
+def test_distributed_training_registers_empty_bag_language(spark):
+    """ADVICE r2: a language whose every text yields ZERO ngram buckets
+    (e.g. a single 1-char text) must still be registered -- same langs,
+    empty table, backoff log(alpha/alpha) = 0.0 -- identically to the
+    local trainer, not silently dropped from the model."""
+    import numpy as np
+
+    from languagedetection_spark.functions.fasttext import (
+        HashedNgramModel,
+        train_hashed_ngram_distributed,
+    )
+
+    rows = [("empty", "a"), ("english", "hello world hello")]
+    gold = HashedNgramModel.train(rows)
+    df = spark.createDataFrame(rows, "language string, text string")
+    got = train_hashed_ngram_distributed(df.repartition(3))
+    assert gold.langs == ["empty", "english"]
+    assert got.langs == gold.langs
+    assert got.backoff == gold.backoff
+    assert got.backoff["empty"] == 0.0
+    for lang in gold.langs:
+        gb, gp = gold.tables[lang]
+        hb, hp = got.tables[lang]
+        assert np.array_equal(gb, hb)
+        assert np.array_equal(gp, hp)
+    assert len(got.tables["empty"][0]) == 0

@@ -365,3 +365,21 @@ def test_multimodal_real_decode_optional_pil(spark):
         assert len(row["features"]) == N_FEATURES
         assert abs(sum(row["features"]) - 1.0) < 1e-9
         assert row["features"][8] == 1.0  # 128 >> 4 == bin 8
+
+
+def test_filter_job_rejects_nested_conv_report(tmp_path):
+    """ADVICE r2: a --conv-report target nested under --output would be
+    re-ingested as input on a rerun (the streaming branch reads the sink
+    dir whole) -- both modes must refuse it up-front, before any Spark
+    work."""
+    import pytest
+
+    from languagedetection_spark.jobs.filter_job import main
+
+    out = str(tmp_path / "out")
+    for extra in ([], ["--streaming"]):
+        with pytest.raises(SystemExit) as exc:
+            main(["--input", "in.parquet", "--output", out,
+                  "--checkpoint", str(tmp_path / "ckpt"),
+                  "--conv-report", out + "/conv_report"] + extra)
+        assert exc.value.code == 2

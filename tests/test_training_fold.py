@@ -180,3 +180,56 @@ def test_larger_batches_approximate(spark, oracle_model):
         1 for k in gold_rows if abs(gold_rows[k][0] - got_rows[k][0]) > 1e-12
     )
     assert diffs <= len(gold_rows) * 0.2  # approximation, not divergence
+
+
+def test_build_model_distributed_registers_empty_bag_language(spark):
+    """ADVICE r2 twin for the trigram path: a language whose every text is
+    shorter than 3 normalized chars gets an empty trigram table and
+    backoff log(1) = 0.0 in BOTH the local and distributed builds (the
+    local TrigramModel.train used to KeyError on this; the distributed
+    build used to drop the language)."""
+    from languagedetection_spark.functions.kernels import FilterModel
+    from languagedetection_spark.operators.training import (
+        build_model_distributed,
+    )
+
+    rows = [("arabic", "ab"), ("english", "hello world of words")]
+    gold = FilterModel.from_corpus(rows)
+    df = spark.createDataFrame(rows, "language string, text string")
+    got = build_model_distributed(spark, df)
+    assert gold.tri_logprob["arabic"] == {}
+    assert gold.tri_backoff["arabic"] == 0.0
+    assert got.tri_logprob == gold.tri_logprob
+    assert got.tri_backoff == gold.tri_backoff
+    assert got.vocab == gold.vocab
+
+
+def test_fold_oracle_sentinel_on_unknown_fixture():
+    """ADVICE r2: an sf dir whose lineitem count matches no golden key must
+    yield an explicit 'NO GOLDEN ...' sentinel row from the oracle SQL, not
+    a silent empty result."""
+    import duckdb
+
+    from languagedetection_spark.entry_queries import (
+        _axiom_dist_goldens_sql,
+        _fold_goldens_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM range(7777)")
+    rows = con.execute(_fold_goldens_sql()).fetchall()
+    assert len(rows) == 1
+    assert rows[0][0] == "NO GOLDEN FOR lineitem count 7777"
+    dist = con.execute(_axiom_dist_goldens_sql()).fetchall()
+    assert dist == [("NO GOLDEN FOR lineitem count 7777", 0, 0)]
+
+
+def test_fold_oracle_root_derived_from_env(tmp_path, monkeypatch):
+    """default_root follows SPARK_GRAFT_SF_DIR's parent so a custom
+    testdata tree is validated instead of the hardcoded default."""
+    from languagedetection_spark.fixtures import fold_oracle
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path / "sfX"))
+    assert fold_oracle.default_root() == str(tmp_path)
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
+    assert fold_oracle.default_root() == "/root/testdata"
