@@ -122,3 +122,61 @@ def test_kept_turns_filter_reaches_scan_side(spark, fixture_dir,
     df = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
     opt = _optimized(kept_turns(quality_filter(df, bc)))
     assert opt.index("Filter") < opt.index("MapInPandas")
+
+
+def test_aqe_skew_join_engages_on_skewed_key(spark):
+    """VERDICT r2 ask #6: the sort-merge-join paths (accuracy_metrics,
+    dedup_components class) rely on AQE to split a hot key at runtime.
+    Pin that OptimizeSkewedJoin actually ENGAGES on a skewed fixture --
+    one key holding ~90% of the rows -- with the thresholds scaled down
+    to test size.  The marker is Spark's own 'skew=true' flag on the SMJ
+    node in the final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin"
+                 ".skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.shuffle.partitions", "8")
+        # two non-obvious preconditions, found the hard way:
+        # 1. the pad must be INCOMPRESSIBLE -- AQE's partition sizes are
+        #    compressed map-output bytes, so a constant pad compresses to
+        #    nothing and no partition ever crosses the skew threshold;
+        # 2. the join output must NOT feed a groupBy on the join key --
+        #    OptimizeSkewedJoin refuses to split a partition whose
+        #    hash-distribution a downstream operator still requires.
+        pad = F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5((F.col("id") + 1).cast("string")),
+            F.md5((F.col("id") + 2).cast("string")),
+        )
+        hot = spark.range(30_000).select(
+            (F.col("id") % 100).alias("k"), pad.alias("pa")
+        ).withColumn("k", F.when(F.col("k") < 90, 0).otherwise(F.col("k")))
+        dim = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pb"))
+        joined = hot.join(dim, "k").agg(
+            F.sum(F.length("pa") + F.length("pb")).alias("s"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # the AQEShuffleRead actually split it
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
