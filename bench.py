@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "ann_ivf_topk",
     "ann_sq_topk",
+    # new in r3 (excluded from the frozen r2 like-for-like total)
+    "tfidf_top_terms",
+    "doc_char_entropy",
+    "inverted_index",
 ]
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved
@@ -49,7 +53,10 @@ BEST_OF_3 = ["classify_relational", "classify_vectorized"]
 # the r2 headline set (17 queries + quality_pipeline_cold/steady): frozen so
 # round-over-round totals stay like-for-like (VERDICT r2 ask #8); any query
 # added later is reported in the raw total but excluded from this one.
-R2_HEADLINE_SET = BENCH_QUERIES + ["quality_pipeline_cold", "quality_pipeline"]
+R2_HEADLINE_SET = BENCH_QUERIES[:17] + [
+    "quality_pipeline_cold", "quality_pipeline",
+]
+assert R2_HEADLINE_SET[16] == "ann_sq_topk"  # the frozen r2 boundary
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "50000"))
 TRANSCRIPT_TURNS_AVG = 16  # ~775k turns + skewed head; big enough that the

@@ -92,6 +92,7 @@ EDGE_SAFE_QUERIES = (
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_components", "decontaminate", "sample_stratified",
     "streaming_dedup",
+    "tfidf_top_terms", "doc_char_entropy", "inverted_index",
 )
 
 
