@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "doc_char_entropy",
     "inverted_index",
+    "normalize_text",
 ]
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

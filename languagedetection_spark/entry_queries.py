@@ -1664,6 +1664,43 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.2
 # ---------------------------------------------------------------------------
 
 
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (NFC + control-char strip + whitespace
+    collapse to single spaces + trim) through the map-only Arrow kernel;
+    the DuckDB twin applies nfc_normalize + two regexp_replace passes with
+    RE2 classes generated from the SAME codepoint inventory the kernel
+    compiles (operators/textstats.py::WS_RANGES/CTRL_RANGES)."""
+    from .operators.textstats import normalize_text_df
+
+    d = _t(spark, sf_dir, "documents")
+    return normalize_text_df(d)
+
+
+def _normalize_text_sql() -> str:
+    from .operators.textstats import (
+        CTRL_RANGES,
+        WS_RANGES,
+        re2_class,
+    )
+
+    return f"""
+WITH n AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[{re2_class(CTRL_RANGES)}]', '', 'g'),
+                '[{re2_class(WS_RANGES)}]+', ' ', 'g'), ' ') AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       CASE WHEN text IS NULL THEN false
+            ELSE norm_text <> text END AS changed
+FROM n
+"""
+
+
+NORMALIZE_TEXT_SQL = _normalize_text_sql()
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import fingerprint_df
 
@@ -2800,6 +2837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_char_entropy": doc_char_entropy,
     "inverted_index": inverted_index,
+    "normalize_text": normalize_text,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -2816,7 +2854,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_score": doc_quality_score,
     "pipeline_scrub": pipeline_scrub,
-    "embedding_topk": embedding_topk,
     "langid_hashed_ngram": langid_hashed_ngram,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2843,6 +2880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
     # --- long-stable entries rotated past the driver's 50-entry window
     #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
+    "embedding_topk": embedding_topk,
     "cube_revenue": cube_revenue,
     "asof_last_purchase": asof_last_purchase,
     "events_sessionize": events_sessionize,
@@ -2916,4 +2954,5 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
+    "normalize_text": NORMALIZE_TEXT_SQL,
 }
