@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "doc_char_entropy",
     "inverted_index",
     "normalize_text",
+    "collocations_lift",
 ]
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

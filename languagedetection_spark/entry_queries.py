@@ -1664,6 +1664,88 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.2
 # ---------------------------------------------------------------------------
 
 
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: adjacent-token bigrams scored by LIFT =
+    P(xy) / (P(x)P(y)) = c_xy * n / (c_x * c_y) -- the exact monotone core
+    of PMI (PMI = log2(lift)) kept in INTEGER arithmetic so both engines
+    agree bit-for-bit (all products < 2^53; one exact IEEE division; no
+    libm log whose ulp drift could flip rankings).  Bigrams with
+    c_xy >= 5 qualify.
+
+    Scale shape: bigram and unigram counts are map-side-combined groupBys
+    (vocab-sized outputs); the scalar token total broadcasts; the two
+    count joins are vocab-sized equi-joins -- nothing scales with corpus
+    row count except the map-side scans."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_t = F.size(toks)
+    # docs with < 2 tokens (incl. empty/NULL text) have no bigrams; the
+    # pre-filter also keeps slice() lengths non-negative (Spark's slice
+    # errors on negative length where DuckDB's generate_series is empty --
+    # the same class as the sequence-descent pitfall, CLAUDE.md)
+    pairs = d.filter(n_t >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n_t - 1).alias("w1"),
+                F.slice(toks, 2, n_t - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    out = (
+        bi.filter("c_xy >= 5")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")),
+              "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")),
+              "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "w1", "w2", "c_xy",
+        F.round(
+            (F.col("c_xy") * F.col("n")).cast("double")
+            / (F.col("c_x") * F.col("c_y")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+COLLOCATIONS_LIFT_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+    FROM documents
+),
+pairs AS (
+    SELECT ts[i.i] AS w1, ts[i.i + 1] AS w2
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 1)) AS i
+    ) i
+),
+uni AS (
+    SELECT t.w, count(*) AS c
+    FROM toks, LATERAL (SELECT unnest(ts) AS w) t
+    GROUP BY t.w
+),
+total AS (SELECT sum(c) AS n FROM uni),
+bi AS (
+    SELECT w1, w2, count(*) AS c_xy FROM pairs
+    GROUP BY w1, w2 HAVING count(*) >= 5
+)
+SELECT bi.w1, bi.w2, bi.c_xy,
+       round(CAST(bi.c_xy * total.n AS DOUBLE)
+             / CAST(ux.c * uy.c AS DOUBLE), 6) AS lift
+FROM bi
+JOIN uni ux ON ux.w = bi.w1
+JOIN uni uy ON uy.w = bi.w2
+CROSS JOIN total
+"""
+
+
 def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode text normalization (NFC + control-char strip + whitespace
     collapse to single spaces + trim) through the map-only Arrow kernel;
@@ -2838,6 +2920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_char_entropy": doc_char_entropy,
     "inverted_index": inverted_index,
     "normalize_text": normalize_text,
+    "collocations_lift": collocations_lift,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -2854,7 +2937,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_score": doc_quality_score,
     "pipeline_scrub": pipeline_scrub,
-    "langid_hashed_ngram": langid_hashed_ngram,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -2880,6 +2962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
     # --- long-stable entries rotated past the driver's 50-entry window
     #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
+    "langid_hashed_ngram": langid_hashed_ngram,
     "embedding_topk": embedding_topk,
     "cube_revenue": cube_revenue,
     "asof_last_purchase": asof_last_purchase,
@@ -2955,4 +3038,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
+    "collocations_lift": COLLOCATIONS_LIFT_SQL,
 }
