@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "normalize_text",
     "collocations_lift",
+    "session_window_events",
 ]
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

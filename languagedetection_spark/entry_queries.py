@@ -319,6 +319,56 @@ FROM sess GROUP BY user_id
 """
 
 
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the built-in twin of the
+    manual lag/gaps-and-islands `events_sessionize`), pinned against an
+    independent gaps-and-islands SQL derivation.  Semantics detail the
+    oracle encodes (verified empirically on an exact-boundary fixture,
+    test_session_window_exact_gap_boundary): an event arriving EXACTLY
+    `gap` after the previous one is MERGED into the session -- Spark's
+    window end `last_ts + gap` is inclusive for the merge test -- so the
+    oracle's new-session flag is strictly `> 1800`."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts - lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sess_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window agg (the batch analog of the streaming pipeline)."""
     e = _t(spark, sf_dir, "events")
@@ -2921,6 +2971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": inverted_index,
     "normalize_text": normalize_text,
     "collocations_lift": collocations_lift,
+    "session_window_events": session_window_events,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -2948,7 +2999,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     "bpe_token_count": bpe_token_count,
     "langid_heuristic": langid_heuristic,
-    "holdout_split": holdout_split,
     "confusion_matrix": confusion_matrix,
     "mean_adjust_fold": mean_adjust_fold,
     "langid_fasttext": langid_fasttext,
@@ -2962,6 +3012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
     # --- long-stable entries rotated past the driver's 50-entry window
     #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
+    "holdout_split": holdout_split,
     "langid_hashed_ngram": langid_hashed_ngram,
     "embedding_topk": embedding_topk,
     "cube_revenue": cube_revenue,
@@ -3039,4 +3090,5 @@ ORACLE_SQL: dict[str, str] = {
     "inverted_index": INVERTED_INDEX_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
     "collocations_lift": COLLOCATIONS_LIFT_SQL,
+    "session_window_events": SESSION_WINDOW_SQL,
 }

@@ -207,7 +207,7 @@ EDGE_RELATIONAL_QUERIES = (
     "rollup_revenue", "cube_revenue", "pivot_events", "json_events",
     "asof_last_purchase", "range_join_tiers", "percentile_stats",
     "ntile_value_quartiles", "full_outer_nation_counts", "events_hourly",
-    "events_sessionize", "approx_aggregates",
+    "events_sessionize", "approx_aggregates", "session_window_events",
 )
 
 _EDGE_NULLABLE = {
@@ -364,3 +364,54 @@ def test_normalize_text_unicode_parity(spark, tmp_path):
     assert by_id[4] == (None, False)
     assert by_id[5] == ("", False)
     assert by_id[6] == ("étude", False)
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """An event arriving EXACTLY gap seconds after the previous one is
+    MERGED into the session (verified empirically: Spark's merge test
+    treats the window end last_ts + gap as inclusive), so the
+    gaps-and-islands oracle flags a new session strictly at > 1800.  The
+    driver fixture may contain no exact-boundary gap, so pin it here with
+    a constructed one."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=utc)
+    rows = [
+        # u1: gap exactly 1800s (MERGED), then 1801s (new session)
+        (1, "u1", "click", 1.0, t0),
+        (2, "u1", "click", 2.0, t0 + dt.timedelta(seconds=1800)),
+        (3, "u1", "click", 4.0, t0 + dt.timedelta(seconds=1800 + 1801)),
+        # u2: single event
+        (4, "u2", "view", 8.0, t0),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows],
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "ts": pa.array([r[4] for r in rows], pa.timestamp("us", tz="UTC")),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    df = entry_mod.queries()["session_window_events"](spark, str(d))
+    s_cols, s_rows = _norm(df.columns, [tuple(r) for r in df.collect()])
+    res = con.execute(entry_mod.oracle_sql()["session_window_events"])
+    d_cols, d_rows = _norm([c[0] for c in res.description], res.fetchall())
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+    by_user = {}
+    for n_events, _start, total, user in s_rows:  # cols sorted by name
+        by_user.setdefault(user, []).append((n_events, total))
+    # ==gap merged into the first session; >gap split
+    assert sorted(by_user["u1"]) == [(1, 4.0), (2, 3.0)]
+    assert by_user["u2"] == [(1, 8.0)]
