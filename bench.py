@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "normalize_text",
     "collocations_lift",
     "session_window_events",
+    "substring_dup_pairs",
 ]
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

@@ -1339,6 +1339,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ngram_jaccard_df(_neardup_corpus(spark, sf_dir), 0.5)
 
 
+def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint substring dedup (Schleimer et al. 2003) over
+    the near-dup corpus: doc pairs sharing >= 15 winnowed char-8-gram
+    fingerprints -- catches copied PASSAGES that whole-doc MinHash
+    dilutes.  The oracle recomputes the identical md5_number_lower hashes
+    and windowed minima relationally; keeping fingerprint VALUES (a set)
+    rather than positions makes the classic rightmost tie-break
+    irrelevant, so plain MIN twins exactly."""
+    from .operators.dedup import substring_dup_pairs_df
+
+    return substring_dup_pairs_df(_neardup_corpus(spark, sf_dir))
+
+
+SUBSTRING_DUP_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ')
+               AS text
+    FROM documents WHERE doc_id % 10 = 0
+),
+grams AS (
+    SELECT doc_id, i.i, length(text) AS n,
+           CAST(md5_number_lower(substr(text, i.i, 8))
+                % 2305843009213693951 AS BIGINT) AS m
+    FROM corpus, LATERAL (
+        SELECT unnest(generate_series(1, length(text) - 7)) AS i
+    ) i
+),
+wins AS (
+    SELECT doc_id,
+           min(m) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams
+    QUALIFY i <= n - 10  -- full 4-gram windows only (k=8, w=4)
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 32),
+gfps AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM gfps a JOIN gfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 15
+"""
+
+
 DEDUP_NGRAM_SQL = (
     _NEARDUP_SQL_CTE
     + """
@@ -2972,6 +3019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": normalize_text,
     "collocations_lift": collocations_lift,
     "session_window_events": session_window_events,
+    "substring_dup_pairs": substring_dup_pairs,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -2996,7 +3044,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": decontaminate,
     "ann_bucketed_topk": ann_bucketed_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    "doc_fingerprint": doc_fingerprint,
     "bpe_token_count": bpe_token_count,
     "langid_heuristic": langid_heuristic,
     "confusion_matrix": confusion_matrix,
@@ -3012,6 +3059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
     # --- long-stable entries rotated past the driver's 50-entry window
     #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
+    "doc_fingerprint": doc_fingerprint,
     "holdout_split": holdout_split,
     "langid_hashed_ngram": langid_hashed_ngram,
     "embedding_topk": embedding_topk,
@@ -3091,4 +3139,5 @@ ORACLE_SQL: dict[str, str] = {
     "normalize_text": NORMALIZE_TEXT_SQL,
     "collocations_lift": COLLOCATIONS_LIFT_SQL,
     "session_window_events": SESSION_WINDOW_SQL,
+    "substring_dup_pairs": SUBSTRING_DUP_SQL,
 }

@@ -501,3 +501,87 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003): substring-level
+# near-dup detection -- the standard guarantee is that any shared substring
+# of length >= K + W - 1 chars leaves at least one shared fingerprint, while
+# storing only ~2/(W+1) of the k-gram hashes.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8          # char k-gram length
+WINNOW_W = 4          # winnow window (guarantee threshold = K + W - 1 = 11)
+WINNOW_P = (1 << 61) - 1  # int64-safe range for the md5-lower-64 base hash
+WINNOW_CAP = 32       # stop-fingerprint guard: drop fps in > CAP docs
+WINNOW_MIN_SHARED = 15
+
+
+def winnow_fingerprints_df(docs: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Distinct winnowed fingerprint VALUES per doc, map-only over Arrow
+    batches: m_i = md5_lower64(text[i:i+k]) % P per char k-gram, then the
+    minimum of each w-length window of m, deduplicated.  Keeping only the
+    VALUE set (not positions) makes the classic rightmost-tie-break
+    irrelevant -- ties collapse in the set -- so the DuckDB twin is a
+    plain windowed MIN over the identical md5_number_lower hashes.  Docs
+    shorter than k + w - 1 chars emit nothing (no full window)."""
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        p = np.uint64(WINNOW_P)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text if isinstance(text, str) else ""
+                n = len(t)
+                if n < k + w - 1:
+                    continue
+                ms = np.fromiter(
+                    (int.from_bytes(
+                        hashlib.md5(t[i:i + k].encode()).digest()[8:],
+                        "little")
+                     for i in range(n - k + 1)),
+                    dtype=np.uint64, count=n - k + 1,
+                ) % p
+                wins = np.lib.stride_tricks.sliding_window_view(ms, w)
+                for fp in np.unique(wins.min(axis=1)).astype(np.int64):
+                    ids.append(doc_id)
+                    fps.append(int(fp))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return docs.mapInPandas(run, "doc_id long, fp long")
+
+
+def substring_dup_pairs_df(docs: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W,
+                           min_shared: int = WINNOW_MIN_SHARED,
+                           cap: int = WINNOW_CAP) -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowed fingerprints -- substring-
+    level near-dup candidates (catches copied PASSAGES that whole-doc
+    MinHash dilutes away).
+
+    Scale shape: fingerprints are map-only; the stop-fingerprint guard
+    (df <= cap, same design as the n-gram stop-shingle guard) bounds the
+    equi-join fanout per fp at cap^2 pairs, so a boilerplate substring
+    shared by half the corpus cannot quadratically explode the join; all
+    shuffles are fp-keyed with map-side combine on the pair counts."""
+    fps = winnow_fingerprints_df(docs, k, w)
+    keep = fps.groupBy("fp").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") <= cap
+    ).select("fp")
+    guarded = fps.join(keep, "fp")
+    left = guarded.select("fp", F.col("doc_id").alias("doc_a"))
+    right = guarded.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -107,3 +107,67 @@ def test_default_guard_is_on():
     ).parameters["max_shingle_freq"].default
     assert default == MAX_SHINGLE_FREQ_DEFAULT
     assert default is not None and default <= 1024
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): any shared substring of
+    length >= K + W - 1 chars leaves at least one shared fingerprint.  Two
+    docs sharing a 60-char passage inside otherwise-different text must
+    share fingerprints; two fully different docs share none."""
+    from languagedetection_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints_df,
+    )
+
+    passage = "the shared secret passage hidden inside both documents here"
+    assert len(passage) >= WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + passage + " delta epsilon zeta"),
+            (2, "one two three four " + passage + " five six seven"),
+            (3, "completely unrelated content with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints_df(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared passage must leave a shared fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnow_short_and_null_docs_emit_nothing(spark):
+    from languagedetection_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * (WINNOW_K + WINNOW_W - 2)), (2, ""), (3, None),
+         (4, "y" * (WINNOW_K + WINNOW_W - 1))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in winnow_fingerprints_df(docs).collect()}
+    assert out == {4}
+
+
+def test_substring_dup_finds_planted_copies(spark):
+    """The truncated-prefix copies in the near-dup corpus share a long
+    passage with their originals: the pair (d, d+1000000) must be found
+    for nearly all planted copies at the contract thresholds."""
+    from languagedetection_spark.entry_queries import (
+        _neardup_corpus,
+        substring_dup_pairs,
+    )
+
+    out = substring_dup_pairs(spark, "/root/testdata/sf0.001").collect()
+    planted = {(r["doc_a"], r["doc_b"]) for r in out
+               if r["doc_b"] - r["doc_a"] == 1000000}
+    n_copies = _neardup_corpus(spark, "/root/testdata/sf0.001").filter(
+        "doc_id >= 1000000").count()
+    assert len(planted) >= 0.85 * n_copies
+    for a, b in planted:
+        assert b == a + 1000000

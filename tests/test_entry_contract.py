@@ -93,7 +93,7 @@ EDGE_SAFE_QUERIES = (
     "dedup_components", "decontaminate", "sample_stratified",
     "streaming_dedup",
     "tfidf_top_terms", "doc_char_entropy", "inverted_index",
-    "normalize_text", "collocations_lift",
+    "normalize_text", "collocations_lift", "substring_dup_pairs",
 )
 
 
