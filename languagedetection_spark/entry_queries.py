@@ -1349,7 +1349,13 @@ def substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     irrelevant, so plain MIN twins exactly."""
     from .operators.dedup import substring_dup_pairs_df
 
-    return substring_dup_pairs_df(_neardup_corpus(spark, sf_dir))
+    # the md5 fingerprint kernel is the compute bound: spread it over all
+    # cores (the tiny local parquet under-splits; at scale the scan's own
+    # splits make this a no-op-sized shuffle of text)
+    corpus = _neardup_corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return substring_dup_pairs_df(corpus)
 
 
 SUBSTRING_DUP_SQL = """
