@@ -147,13 +147,20 @@ def main() -> None:
 
     load_start = _loadavg()
 
+    # TWO interleaved passes over the whole set, min per query (VERDICT r2
+    # ask #8: interleave runs so a co-tenant load spike on one pass cannot
+    # masquerade as a query regression; r3 observed 14.2 s vs 2.7 s warm
+    # for the same query under a spike).  All raw passes are published.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            _run_noop(fn(spark, sf_dir))
+            runs.setdefault(name, []).append(round(time.time() - t0, 3))
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        _run_noop(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = min(runs[name])
 
     # classify_* rebuild their axiom model per invocation; time the
     # distributed build alone so model-build vs scoring cost is attributable
@@ -173,15 +180,12 @@ def main() -> None:
     n_axioms = len(axiom_rows_df(labeled).collect())
     timings["classify_model_build"] = round(time.time() - t0, 3)
 
-    # best-of-3, interleaved (two extra passes beyond the loop above)
+    # classify pair: ONE extra pass on top of the two global passes keeps
+    # them best-of-3 (the r2 regression-attribution protocol)
     for name in BEST_OF_3:
-        runs[name] = [timings[name]]
-    for _ in range(2):
-        for name in BEST_OF_3:
-            t0 = time.time()
-            _run_noop(QUERIES[name](spark, sf_dir))
-            runs[name].append(round(time.time() - t0, 3))
-    for name in BEST_OF_3:
+        t0 = time.time()
+        _run_noop(QUERIES[name](spark, sf_dir))
+        runs[name].append(round(time.time() - t0, 3))
         timings[name] = min(runs[name])
 
     # flagship: quality-filter throughput over the synthetic transcripts
@@ -215,7 +219,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "total_like_for_like_r2": like_for_like,
-        "runs_best_of_3": runs,
+        "runs_all_passes": runs,
         "classify_axiom_rows": n_axioms,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
