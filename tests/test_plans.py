@@ -180,3 +180,43 @@ def test_aqe_skew_join_engages_on_skewed_key(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_normalize_text_is_map_only(spark):
+    """The normalization kernel is the pipeline's first stage at 100 TB:
+    it must stay a pure scan -> mapInPandas plan with zero exchanges."""
+    from languagedetection_spark.entry_queries import normalize_text
+
+    plan = _plan(normalize_text(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "FlatMapsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_new_aggregate_queries_use_partial_aggregation(spark):
+    """inverted_index / doc_char_entropy shuffle ONLY pre-aggregated rows:
+    the plan must show a partial HashAggregate below each exchange (the
+    map-side combine that keeps shuffle volume vocab-sized at scale) and
+    no more than the expected exchanges."""
+    from languagedetection_spark.entry_queries import (
+        doc_char_entropy,
+        inverted_index,
+    )
+
+    for fn, max_ex in ((inverted_index, 2), (doc_char_entropy, 2)):
+        df = fn(spark, SF)
+        df.count()
+        plan = _plan(df)
+        assert plan.count("Exchange") <= max_ex, plan
+        assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_winnow_fingerprints_map_only(spark):
+    """Winnowing fingerprints are computed row-locally -- nothing shuffles
+    until the fp-keyed candidate join."""
+    from languagedetection_spark.operators.dedup import (
+        winnow_fingerprints_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(winnow_fingerprints_df(docs))
+    assert "Exchange" not in plan, plan
