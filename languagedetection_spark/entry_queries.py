@@ -2745,6 +2745,96 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + APPEND-mode late-data semantics, driven through a real
+    two-micro-batch streaming query and pinned against a relational
+    derivation of Spark's own rules.
+
+    THREE mtime-ordered micro-batches: the newest 26 hours first (advances
+    the watermark to max(ts) - 1 hour), a middle 26-50h-old slice second,
+    and everything older last.  Spark >= 3.4 (SPARK-40925) filters late
+    records with the PREVIOUS batch's watermark while evicting/emitting
+    with the CURRENT one -- so a two-batch design drops nothing (verified:
+    numRowsDroppedByWatermark stayed 0 and the 'late' rows were emitted);
+    only by batch 3 has the late-filter watermark caught up, and every
+    oldest-slice row is then dropped.  Emitted output = windows over the
+    two newer slices with window end <= max(ts) - 1 hour (windows above
+    the watermark when the query drains are never emitted -- the old
+    batches cannot advance it).  The oracle states exactly that rule."""
+    import datetime
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts")).collect()[0][0]
+    cut1 = mx - datetime.timedelta(hours=26)
+    cut2 = mx - datetime.timedelta(hours=50)
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ld_stream_late3_{_src_cache_key(sf_dir, 'events')}",
+    )
+    files = [
+        (os.path.join(src, "00_new.parquet"), F.col("ts") >= F.lit(cut1)),
+        (os.path.join(src, "01_mid.parquet"),
+         (F.col("ts") >= F.lit(cut2)) & (F.col("ts") < F.lit(cut1))),
+        (os.path.join(src, "02_old.parquet"), F.col("ts") < F.lit(cut2)),
+    ]
+    if not all(os.path.exists(t) for t, _ in files):
+        import glob as _glob
+        import shutil
+
+        os.makedirs(src, exist_ok=True)
+        for target, pred in files:
+            tmp = target + ".dir"
+            e.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, target)
+            shutil.rmtree(tmp)
+    # FileStreamSource processes oldest-mtime first: pin the batch order
+    now = 1_700_000_000
+    for i, (target, _pred) in enumerate(files):
+        os.utime(target, (now + 100 * i, now + 100 * i))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        # the parquet schema round-trips ts as TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP_LTZ (session tz is pinned UTC, so the values
+        # are unchanged)
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+            "event_type", "n",
+        )
+    )
+    name = f"stream_late_{abs(hash(sf_dir)) % 99999}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_LATE_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+       event_type, count(*) AS n
+FROM events, mx
+WHERE ts >= mx.m - INTERVAL 50 HOURS
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming STATEFUL exact dedup in the contract: the
     documents table plus planted exact copies (every 7th doc) streams
@@ -3026,9 +3116,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocations_lift": collocations_lift,
     "session_window_events": session_window_events,
     "substring_dup_pairs": substring_dup_pairs,
+    "streaming_late_data": streaming_late_data,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
     "order_argmax_per_customer": order_argmax_per_customer,
     "supplier_running_total": supplier_running_total,
     "lang_resolution": lang_resolution,
@@ -3065,6 +3155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
     # --- long-stable entries rotated past the driver's 50-entry window
     #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
+    "revenue_by_nation": revenue_by_nation,
     "doc_fingerprint": doc_fingerprint,
     "holdout_split": holdout_split,
     "langid_hashed_ngram": langid_hashed_ngram,
@@ -3146,4 +3237,5 @@ ORACLE_SQL: dict[str, str] = {
     "collocations_lift": COLLOCATIONS_LIFT_SQL,
     "session_window_events": SESSION_WINDOW_SQL,
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
+    "streaming_late_data": STREAMING_LATE_SQL,
 }

@@ -415,3 +415,37 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
     # ==gap merged into the first session; >gap split
     assert sorted(by_user["u1"]) == [(1, 4.0), (2, 3.0)]
     assert by_user["u2"] == [(1, 8.0)]
+
+
+def test_streaming_late_data_actually_drops(spark):
+    """The late-drop demonstration must be REAL: the fixture has events
+    older than the 50h cut (they arrive in micro-batch 3, below the
+    late-filter watermark) and none of their windows may appear in the
+    streamed output, while newer windows below max(ts) - 1h all do."""
+    import duckdb as _duck
+
+    out = entry_mod.queries()["streaming_late_data"](
+        spark, SF_DIR).collect()
+    hrs = {r["hr"] for r in out}
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    # 52h guard: a window straddling the 50h cut can legitimately appear
+    # with its partial newer-side count, so probe strictly older windows
+    n_old, old_hr = con.execute("""
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT count(*),
+               strftime(max(date_trunc('hour', ts)), '%Y-%m-%d %H:%M:%S')
+        FROM events, mx WHERE ts < mx.m - INTERVAL 52 HOURS
+    """).fetchone()
+    assert n_old > 0, "fixture must contain genuinely late rows"
+    assert old_hr not in hrs, "late windows must not be emitted"
+    n_expected = con.execute("""
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT count(DISTINCT (date_trunc('hour', ts), event_type))
+        FROM events, mx
+        WHERE ts >= mx.m - INTERVAL 50 HOURS
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= mx.m - INTERVAL 1 HOUR
+    """).fetchone()[0]
+    assert len(out) == n_expected
