@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
                         "completed per-turn output")
     p.add_argument("--fail-after", type=int, default=None,
                    help="TESTING: raise after N buckets to exercise resume")
+    p.add_argument("--dedup", choices=["exact"], default=None,
+                   help="corpus-wide dedup stage before scoring: 'exact' "
+                        "keeps the (conv_id, turn_idx)-minimal turn per "
+                        "distinct text (batch mode only; the streaming "
+                        "mode's analogue is stateful dropDuplicates)")
     p.add_argument("--streaming", action="store_true",
                    help="consume --input as a file stream (availableNow "
                         "trigger): parquet sink + streaming checkpoint "
@@ -101,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     fp = model_fingerprint(model)
     bc = broadcast_model(spark, model)
 
+    if args.streaming and args.dedup:
+        p.error("--dedup is a batch stage; streaming mode dedups via "
+                "stateful dropDuplicates (see streaming_dedup)")
+
     if args.streaming:
         from ..streaming.pipeline import (
             run_to_parquet,
@@ -130,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     df = read_transcripts(spark, args.input)
+    if args.dedup == "exact":
+        from ..operators.dedup import dedup_exact_keep_first
+
+        df = dedup_exact_keep_first(df)
 
     count = {"n": 0}
 

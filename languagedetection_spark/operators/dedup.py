@@ -585,3 +585,35 @@ def substring_dup_pairs_df(docs: DataFrame, k: int = WINNOW_K,
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_exact_keep_first(df: DataFrame,
+                           key_cols: tuple[str, str] = ("conv_id",
+                                                        "turn_idx"),
+                           text_col: str = "text") -> DataFrame:
+    """Corpus-wide exact dedup keeping ONE deterministic row per distinct
+    text: the (conv_id, turn_idx)-minimal turn.  Built for the filter_job
+    --dedup stage.
+
+    Scale shape: the keeper per text hash is a skew-immune
+    min-of-struct aggregate (partially aggregable map-side, unlike a
+    row_number window that funnels a hot text -- think empty strings --
+    through one reducer); the re-join is hash-keyed on the text md5."""
+    k = F.md5(F.coalesce(F.col(text_col), F.lit("\x00null")))
+    a, b = key_cols
+    keepers = (
+        df.select(k.alias("__k"), F.struct(a, b).alias("__kt"))
+        .groupBy("__k").agg(F.min("__kt").alias("__keep"))
+        .select("__k", F.col(f"__keep.{a}").alias("__ka"),
+                F.col(f"__keep.{b}").alias("__kb"))
+    )
+    left = df.withColumn("__k", k)
+    return (
+        left.join(
+            keepers,
+            (left["__k"] == keepers["__k"])
+            & (left[a] == keepers["__ka"])
+            & (left[b] == keepers["__kb"]),
+        )
+        .drop(keepers["__k"]).drop("__k", "__ka", "__kb")
+    )

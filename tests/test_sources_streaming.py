@@ -467,3 +467,67 @@ def test_frame_sample_real_avi_distributed(spark):
     assert [(r["frame_idx"], r["offset"]) for r in out] == [
         (i, off) for i, off in enumerate(probe_avi_container(avi)["frames"])
     ]
+
+
+def test_filter_job_dedup_exact_stage(spark, tmp_path):
+    """--dedup exact keeps ONE deterministic turn per distinct text across
+    the whole corpus before scoring; a rerun (resume path) is idempotent."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        ("c1", 0, "user", "hello world this is a decent length turn", None),
+        ("c2", 1, "user", "hello world this is a decent length turn", None),
+        ("c1", 1, "asst", "a different reply with plenty of words here",
+         None),
+        ("c3", 0, "user", "hello world this is a decent length turn", None),
+        ("c3", 1, "user", "unique text that appears exactly once okay",
+         None),
+    ]
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    tbl = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": pa.array([r[4] for r in rows], pa.string()),
+        "ts": pa.array([ts] * len(rows), pa.timestamp("us", tz="UTC")),
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    out = subprocess.run(
+        [sys.executable, "-m", "languagedetection_spark.jobs.filter_job",
+         "--input", inp, "--output", str(tmp_path / "out"),
+         "--checkpoint", str(tmp_path / "ckpt"), "--dedup", "exact",
+         "--buckets", "4"],
+        capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = duckdb.execute(
+        f"SELECT conv_id, turn_idx, text FROM "
+        f"'{tmp_path}/out/bucket=*/*.parquet' ORDER BY text, conv_id"
+    ).fetchall()
+    texts = [r[2] for r in res]
+    assert len(texts) == len(set(texts)) == 3
+    kept = {r[2]: (r[0], r[1]) for r in res}
+    # deterministic keeper: minimal (conv_id, turn_idx) per text
+    assert kept["hello world this is a decent length turn"] == ("c1", 0)
+
+
+def test_filter_job_rejects_dedup_with_streaming(tmp_path):
+    import pytest
+
+    from languagedetection_spark.jobs.filter_job import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--input", "x.parquet", "--output", str(tmp_path / "o"),
+              "--checkpoint", str(tmp_path / "c"), "--dedup", "exact",
+              "--streaming"])
+    assert exc.value.code == 2
