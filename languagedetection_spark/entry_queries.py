@@ -1871,8 +1871,8 @@ def _normalize_text_sql() -> str:
     return f"""
 WITH n AS (
     SELECT doc_id, text,
-           trim(regexp_replace(regexp_replace(nfc_normalize(text),
-                '[{re2_class(CTRL_RANGES)}]', '', 'g'),
+           trim(regexp_replace(nfc_normalize(
+                regexp_replace(text, '[{re2_class(CTRL_RANGES)}]', '', 'g')),
                 '[{re2_class(WS_RANGES)}]+', ' ', 'g'), ' ') AS norm_text
     FROM documents
 )

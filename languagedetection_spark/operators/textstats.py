@@ -128,15 +128,21 @@ def re2_class(ranges) -> str:
 
 
 def normalize_text_py(text):
-    """Reference kernel: NFC -> strip control chars -> collapse the
-    explicit whitespace inventory to single spaces -> trim."""
+    """Reference kernel: strip control chars -> NFC -> collapse the
+    explicit whitespace inventory to single spaces -> trim.
+
+    Controls are stripped BEFORE NFC for two reasons: DuckDB's
+    nfc_normalize (utf8proc) truncates at an embedded NUL (found by the
+    hypothesis fuzz: nfc_normalize('\x00X') = ''), and a control char
+    between a base char and its combining mark would otherwise block
+    composition -- strip-first yields the canonical composed form."""
     import re
     import unicodedata
 
     if text is None:
         return None
-    t = unicodedata.normalize("NFC", text)
-    t = re.sub(f"[{py_class(CTRL_RANGES)}]", "", t)
+    t = re.sub(f"[{py_class(CTRL_RANGES)}]", "", text)
+    t = unicodedata.normalize("NFC", t)
     t = re.sub(f"[{py_class(WS_RANGES)}]+", " ", t)
     return t.strip(" ")
 

@@ -221,3 +221,74 @@ def test_simhash_vectorized_equals_naive(text):
         acc = 2 * ones - np.int64(len(shingles))
         got = int(((acc > 0) * weights).sum())
     assert got == _naive_simhash(text)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(text=text_strategy)
+def test_normalize_text_kernel_equals_duckdb(text):
+    """normalize_text's Python kernel and its DuckDB nfc_normalize + RE2
+    oracle must agree on ARBITRARY unicode (NFC composition, exotic
+    whitespace, control chars, astral planes) -- the whitespace/control
+    inventory is one codepoint-range list compiled into both engines."""
+    import duckdb
+
+    from languagedetection_spark.operators.textstats import (
+        CTRL_RANGES,
+        WS_RANGES,
+        normalize_text_py,
+        re2_class,
+    )
+
+    got = normalize_text_py(text)
+    want = duckdb.execute(
+        "SELECT trim(regexp_replace(nfc_normalize(regexp_replace(?, "
+        f"'[{re2_class(CTRL_RANGES)}]', '', 'g')), "
+        f"'[{re2_class(WS_RANGES)}]+', ' ', 'g'), ' ')",
+        [text],
+    ).fetchone()[0]
+    assert got == want, (repr(text), repr(got), repr(want))
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(text=st.text(alphabet=st.sampled_from("abcde "), min_size=0,
+                    max_size=60))
+def test_winnow_fingerprints_equal_duckdb(text):
+    """The winnowing kernel's fingerprint VALUE SET must equal the DuckDB
+    windowed-MIN derivation for arbitrary short ascii docs (incl. the
+    no-full-window short-text gate)."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from languagedetection_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_P,
+        WINNOW_W,
+    )
+
+    k, w = WINNOW_K, WINNOW_W
+    n = len(text)
+    if n < k + w - 1:
+        py = set()
+    else:
+        ms = np.fromiter(
+            (int.from_bytes(hashlib.md5(text[i:i + k].encode())
+                            .digest()[8:], "little")
+             for i in range(n - k + 1)),
+            dtype=np.uint64, count=n - k + 1) % np.uint64(WINNOW_P)
+        wins = np.lib.stride_tricks.sliding_window_view(ms, w)
+        py = {int(v) for v in np.unique(wins.min(axis=1))}
+    rows = duckdb.execute(f"""
+        WITH g AS (
+            SELECT i.i, CAST(md5_number_lower(substr(?, i.i, {k}))
+                        % {WINNOW_P} AS BIGINT) AS m
+            FROM (SELECT unnest(generate_series(1, {n} - {k - 1})) AS i) i
+        )
+        SELECT DISTINCT fp FROM (
+            SELECT min(m) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+                                AND {w - 1} FOLLOWING) AS fp, i
+            FROM g QUALIFY i <= {n} - {k - 1} - {w - 1}
+        )
+    """, [text]).fetchall()
+    assert {r[0] for r in rows} == py
