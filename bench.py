@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "collocations_lift",
     "session_window_events",
     "substring_dup_pairs",
+    "word_freq_spectrum",
+    "label_centroids",
 ]
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

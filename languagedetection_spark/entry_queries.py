@@ -881,6 +881,69 @@ _VALID_EMB_SQL = """embedding IS NOT NULL
       AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0"""
 
 
+def word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-of-frequencies (the Zipf / Good-Turing spectrum):
+    for each corpus frequency f, how many distinct words occur exactly f
+    times.  The classic corpus-health readout (a healthy crawl has a long
+    hapax tail; boilerplate-heavy corpora do not).  Pure integer
+    aggregates; two map-side-combined groupBys whose outputs are vocab-
+    then spectrum-sized."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    freq = toks.groupBy("word").agg(F.count("*").alias("f"))
+    return freq.groupBy("f").agg(F.count("*").alias("n_words"))
+
+
+WORD_FREQ_SPECTRUM_SQL = """
+WITH toks AS (
+    SELECT t.word
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+    WHERE t.word <> ''
+),
+freq AS (SELECT word, count(*) AS f FROM toks GROUP BY word)
+SELECT f, count(*) AS n_words FROM freq GROUP BY f
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension):
+    mean component over the label's VALID vectors (same degenerate-vector
+    filter as the whole similarity family) plus the member count.  The
+    cluster-summary primitive behind IVF coarse quantizers and
+    drift monitoring.  posexplode -> (label, dim) grouping: map-side
+    partial avg, output is labels x dims regardless of corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    from .operators.similarity import valid_embeddings
+
+    v = valid_embeddings(e, "embedding")
+    ex = v.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), 5).alias("mean_x"),
+        F.count("*").alias("n"),
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH valid AS (
+    SELECT label, embedding FROM embeddings WHERE {_VALID_EMB_SQL}
+),
+ex AS (
+    SELECT label, i.i - 1 AS dim, embedding[i.i] AS x
+    FROM valid, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+    ) i
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       round(avg(CAST(x AS DOUBLE)), 5) AS mean_x, count(*) AS n
+FROM ex GROUP BY label, dim
+"""
+
+
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for query vectors (vec_id < 20).
     JVM-side math: zip_with product + aggregate fold in double precision;
@@ -3117,10 +3180,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_events": session_window_events,
     "substring_dup_pairs": substring_dup_pairs,
     "streaming_late_data": streaming_late_data,
+    "word_freq_spectrum": word_freq_spectrum,
+    "label_centroids": label_centroids,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
-    "order_argmax_per_customer": order_argmax_per_customer,
-    "supplier_running_total": supplier_running_total,
     "lang_resolution": lang_resolution,
     "tokenize_explode": tokenize_explode,
     "tokenize_per_char": tokenize_per_char,
@@ -3155,6 +3218,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": streaming_dedup,
     # --- long-stable entries rotated past the driver's 50-entry window
     #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
+    "order_argmax_per_customer": order_argmax_per_customer,
+    "supplier_running_total": supplier_running_total,
     "revenue_by_nation": revenue_by_nation,
     "doc_fingerprint": doc_fingerprint,
     "holdout_split": holdout_split,
@@ -3238,4 +3303,6 @@ ORACLE_SQL: dict[str, str] = {
     "session_window_events": SESSION_WINDOW_SQL,
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
     "streaming_late_data": STREAMING_LATE_SQL,
+    "word_freq_spectrum": WORD_FREQ_SPECTRUM_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
 }

@@ -94,6 +94,7 @@ EDGE_SAFE_QUERIES = (
     "streaming_dedup",
     "tfidf_top_terms", "doc_char_entropy", "inverted_index",
     "normalize_text", "collocations_lift", "substring_dup_pairs",
+    "word_freq_spectrum",
 )
 
 
@@ -152,6 +153,7 @@ def test_oracle_edge_documents(name, spark, edge_docs_dir):
 EDGE_EMBEDDING_QUERIES = (
     "embedding_topk", "ann_bucketed_topk", "ann_multitable_topk",
     "ann_ivf_topk", "ann_sq_topk", "dedup_embedding_cosine",
+    "label_centroids",
 )
 
 
