@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "substring_dup_pairs",
     "word_freq_spectrum",
     "label_centroids",
+    "sequence_packing",
+    "mixture_rates",
 ]
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

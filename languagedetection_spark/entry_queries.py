@@ -881,6 +881,98 @@ _VALID_EMB_SQL = """embedding IS NOT NULL
       AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0"""
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing: documents are concatenated in
+    deterministic doc_id order into a token stream chunked into 2048-token
+    sequences; each doc reports the sequence its first token lands in, its
+    start offset in the stream, and whether it straddles a sequence
+    boundary.  Exact integer window arithmetic (the running sum is the
+    same prefix-scan as word_cumsum)."""
+    seq_len = 2048
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .alias("n_tokens"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = toks.withColumn("end_off", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        F.floor((F.col("end_off") - F.col("n_tokens")) / seq_len)
+        .cast("long").alias("seq_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(False)).otherwise(
+            F.floor((F.col("end_off") - 1) / seq_len)
+            > F.floor((F.col("end_off") - F.col("n_tokens")) / seq_len)
+        ).alias("straddles"),
+    )
+
+
+SEQUENCE_PACKING_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS end_off
+    FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       CAST(floor((end_off - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+       CASE WHEN n_tokens = 0 THEN false
+            ELSE floor((end_off - 1) / 2048.0)
+                 > floor((end_off - n_tokens) / 2048.0) END AS straddles
+FROM cum
+"""
+
+
+def mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights for the training mixture
+    (alpha = 0.5, the multilingual-LM standard): weight_l = sqrt(n_l) /
+    sum sqrt(n_l) over per-language token counts -- upsamples the tail,
+    tempers the head.  sqrt is a correctly-rounded IEEE op so both
+    engines agree; the 24-term weight sum is rounded at 6 dp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .alias("n"),
+    )
+    per = toks.groupBy("lang").agg(F.sum("n").alias("n_tokens"))
+    tot = per.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double")) / F.col("z"), 6
+        ).alias("weight"),
+    )
+
+
+MIXTURE_RATES_SQL = """
+WITH per AS (
+    SELECT lang,
+           sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+               AS n_tokens
+    FROM documents GROUP BY lang
+),
+z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / z.z, 6) AS weight
+FROM per, z
+"""
+
+
 def word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus frequency-of-frequencies (the Zipf / Good-Turing spectrum):
     for each corpus frequency f, how many distinct words occur exactly f
@@ -3182,6 +3274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_late_data": streaming_late_data,
     "word_freq_spectrum": word_freq_spectrum,
     "label_centroids": label_centroids,
+    "sequence_packing": sequence_packing,
+    "mixture_rates": mixture_rates,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -3210,14 +3304,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_fasttext": langid_fasttext,
     "pipeline_keep": pipeline_keep,
     "conv_quality_report": conv_quality_report,
-    "approx_aggregates": approx_aggregates,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_sq_topk": ann_sq_topk,
     "axiom_distribution": axiom_distribution,
-    "streaming_hourly": streaming_hourly,
     "streaming_dedup": streaming_dedup,
     # --- long-stable entries rotated past the driver's 50-entry window
     #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
+    "approx_aggregates": approx_aggregates,
+    "streaming_hourly": streaming_hourly,
     "order_argmax_per_customer": order_argmax_per_customer,
     "supplier_running_total": supplier_running_total,
     "revenue_by_nation": revenue_by_nation,
@@ -3305,4 +3399,6 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_late_data": STREAMING_LATE_SQL,
     "word_freq_spectrum": WORD_FREQ_SPECTRUM_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
+    "mixture_rates": MIXTURE_RATES_SQL,
 }
