@@ -1598,9 +1598,13 @@ DEDUP_MINHASH_SQL = (
     GROUP BY s.doc_id, i.i
 ),
 banded AS (
-    SELECT doc_id, CAST(i // 4 AS INT) AS b,
-           string_agg(hmin::VARCHAR, '_' ORDER BY i) AS key
-    FROM minh GROUP BY doc_id, i // 4
+    -- the band-frequency guard (cap 256) mirrors _band_freq_guard: band
+    -- buckets fuller than the cap are dropped from candidate generation
+    SELECT doc_id, b, key FROM (
+        SELECT doc_id, CAST(i // 4 AS INT) AS b,
+               string_agg(hmin::VARCHAR, '_' ORDER BY i) AS key
+        FROM minh GROUP BY doc_id, i // 4
+    ) QUALIFY count(*) OVER (PARTITION BY b, key) <= 256
 ),
 pairs AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1649,8 +1653,11 @@ fps AS (
     FROM bitsum GROUP BY doc_id
 ),
 banded AS (
-    SELECT doc_id, fp, b.b, (fp >> (b.b * 15)) & 32767 AS key
-    FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) b
+    -- band-frequency guard (cap 256), mirroring _band_freq_guard
+    SELECT doc_id, fp, b, key FROM (
+        SELECT doc_id, fp, b.b AS b, (fp >> (b.b * 15)) & 32767 AS key
+        FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) b
+    ) QUALIFY count(*) OVER (PARTITION BY b, key) <= 256
 )
 """
 

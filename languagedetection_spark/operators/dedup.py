@@ -267,10 +267,35 @@ def minhash_signatures_native_df(docs: DataFrame, k: int = MINHASH_K,
     )
 
 
+MAX_BAND_FREQ_DEFAULT = 256
+
+
+def _band_freq_guard(banded: DataFrame, keys: list[str],
+                     cap: int | None) -> DataFrame:
+    """Drop LSH bucket keys shared by more than *cap* docs from candidate
+    generation (the band-join twin of the stop-shingle guard): a crowd of
+    f exact-duplicate texts shares EVERY band key and emits O(f^2)
+    candidate pairs per band -- measured: a 775k-turn corpus with
+    generator-duplicated texts made the unguarded band join run for
+    minutes at local[8].  Exact-duplicate crowds belong to exact dedup
+    (run dedup_exact / --dedup exact first); the guard makes near-dup
+    LSH robust to them at any scale.  Over-full buckets are either such
+    crowds or degenerate signatures, so the (bounded) recall loss is by
+    design; pass ``cap=None`` for exhaustive small-corpus runs."""
+    if cap is None:
+        return banded
+    freq = banded.groupBy(*keys).agg(F.count("*").alias("__f"))
+    return banded.join(
+        freq.filter(F.col("__f") <= cap).select(*keys), keys
+    )
+
+
 def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
                          k: int = MINHASH_K, bands: int = MINHASH_BANDS,
                          rows: int = MINHASH_ROWS,
-                         hash_family: str = "md5") -> DataFrame:
+                         hash_family: str = "md5",
+                         max_band_freq: int | None =
+                         MAX_BAND_FREQ_DEFAULT) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
 
     h_i(doc) = min over shingles of an affine family over the shingle's
@@ -304,6 +329,7 @@ def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
         # sides (ReuseExchange) -- measured 4.7 s -> 3.5 s at sf0.1.  The
         # md5 path already reuses its exchange, so it keeps the plain plan.
         banded = banded.repartition("b", "key")
+    banded = _band_freq_guard(banded, ["b", "key"], max_band_freq)
     left = banded.select("b", "key", F.col("doc_id").alias("doc_a"))
     right = banded.select("b", "key", F.col("doc_id").alias("doc_b"))
     pairs = (
@@ -476,10 +502,14 @@ def dedup_components_df(nodes: DataFrame, pairs: DataFrame,
     return clustered.unionAll(singletons)
 
 
-def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
+                     max_band_freq: int | None =
+                     MAX_BAND_FREQ_DEFAULT) -> DataFrame:
     """SimHash near-dup pairs: band on 15-bit slices (a pair within hamming
     distance 3 of a 60-bit code must agree on >= 1 of 4 bands), verify with
-    bit_count(xor)."""
+    bit_count(xor).  Band buckets fuller than ``max_band_freq`` are dropped
+    from candidate generation (see _band_freq_guard -- exact-dup crowds
+    share every band and go quadratic otherwise)."""
     fps = simhash_df(docs)
     spark = docs.sparkSession
     band_ids = spark.range(SIMHASH_BANDS).select(
@@ -489,6 +519,7 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "doc_id", "fp", "b",
         F.expr(f"shiftright(fp, b * {SIMHASH_BAND_BITS}) & 32767").alias("key"),
     )
+    banded = _band_freq_guard(banded, ["b", "key"], max_band_freq)
     left = banded.select("b", "key", F.col("doc_id").alias("doc_a"),
                          F.col("fp").alias("fp_a"))
     right = banded.select("b", "key", F.col("doc_id").alias("doc_b"),
