@@ -1916,10 +1916,13 @@ WITH e AS (
     WHERE embedding IS NOT NULL
       AND len(list_filter(embedding, x -> x IS NULL)) = 0
       AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+g AS (  -- bucket-frequency guard (cap 256), mirroring the operator
+    SELECT * FROM e QUALIFY count(*) OVER (PARTITION BY code) <= 256
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
-FROM e a JOIN e b ON a.code = b.code AND a.vec_id < b.vec_id
+FROM g a JOIN g b ON a.code = b.code AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.2
 """
 

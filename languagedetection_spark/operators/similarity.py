@@ -212,18 +212,34 @@ def assign_cells_df(df: DataFrame, centroids: list[list[float]],
     return df.join(assigned, id_col)
 
 
+MAX_BUCKET_FREQ_DEFAULT = 256
+
+
 def dedup_embedding_cosine_df(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               emb_col: str = "embedding",
-                              n_bits: int = 8) -> DataFrame:
+                              n_bits: int = 8,
+                              max_bucket_freq: int | None =
+                              MAX_BUCKET_FREQ_DEFAULT) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket candidates, cosine >=
     threshold verified.  (Near-identical vectors share the bucket unless a
     component sits exactly at 0 -- acceptable for near-dup mining; the
-    exact variant is a crossJoin.)"""
+    exact variant is a crossJoin.)
+
+    ``max_bucket_freq`` is the bucket-join twin of the dedup family's
+    band-frequency guard: a crowd of f identical embeddings shares one
+    sign code and would emit O(f^2) cosine verifications; buckets fuller
+    than the cap are dropped from candidate generation (identical-vector
+    crowds belong to exact dedup on a vector hash)."""
     base = _with_norm(df, emb_col).select(
         F.col(id_col).alias("vid"), "_emb", "_nrm",
         bucket_code(emb_col, n_bits).alias("code"),
     )
+    if max_bucket_freq is not None:
+        keep = base.groupBy("code").agg(F.count("*").alias("__f")).filter(
+            F.col("__f") <= max_bucket_freq
+        ).select("code")
+        base = base.join(keep, "code")
     a = base.select("code", F.col("vid").alias("vec_a"),
                     F.col("_emb").alias("ea"), F.col("_nrm").alias("na"))
     b = base.select("code", F.col("vid").alias("vec_b"),

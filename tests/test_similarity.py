@@ -150,3 +150,31 @@ def test_sq_codes_in_range(spark):
         F.max(F.array_max("code")).alias("hi"),
     ).collect()[0]
     assert 0 <= stats["lo"] and stats["hi"] <= 255
+
+
+def test_embedding_bucket_guard_bounds_identical_crowds(spark):
+    """A crowd of identical embeddings shares one sign code: the default
+    bucket-frequency guard drops the over-full bucket from candidate
+    generation (identical-vector crowds belong to exact dedup), while a
+    small bucket's near-dup pair is still verified."""
+    import pyspark.sql.functions as F
+
+    from languagedetection_spark.operators.similarity import (
+        dedup_embedding_cosine_df,
+    )
+
+    crowd_vec = [1.0] * 8 + [0.5] * 8
+    near = [-1.0] * 8 + [0.5] * 8
+    near2 = [-1.0] * 8 + [0.51] * 8
+    rows = [(i, crowd_vec) for i in range(500)]
+    rows += [(9000, near), (9001, near2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    out = dedup_embedding_cosine_df(df, threshold=0.9).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert (9000, 9001) in pairs
+    assert not any(a < 500 and b < 500 for a, b in pairs)
+    # cap=None restores the exhaustive small-corpus behavior
+    full = dedup_embedding_cosine_df(df, threshold=0.9,
+                                     max_bucket_freq=None).collect()
+    assert any(r["vec_a"] < 500 and r["vec_b"] < 500 for r in full)
