@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "sequence_packing",
     "mixture_rates",
-]
+]  # streaming_join_attrib excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved
 # 3.60->4.89 s / 1.37->1.93 s without a code cause.  These queries rebuild
