@@ -809,6 +809,190 @@ FROM tf GROUP BY term HAVING count(*) >= 5
 """
 
 
+def _filtered_toks():
+    """Non-empty token array (split on single space) -- the shared token
+    universe for the repetition signals, so word stats and gram stats
+    count over the SAME tokens even on double-spaced edge docs."""
+    return F.filter(F.split("text", " "), lambda t: t != "")
+
+
+def _doc_grams(d: DataFrame, n: int) -> DataFrame:
+    """ALL word n-gram occurrences per doc (not distinct -- repetition
+    needs multiplicity, unlike shingle_df).  Docs shorter than *n* tokens
+    are filtered BEFORE the position sequence (Spark's sequence(1, 0)
+    descends; CLAUDE.md pitfall)."""
+    toks = _filtered_toks()
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        d.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 quality rules):
+    per doc, the duplicate-word fraction (1 - distinct/total), the
+    fraction of bigram occurrences taken by the single most frequent
+    bigram, and the fraction of trigram occurrences whose trigram repeats
+    within the doc.  High values flag boilerplate / keyboard-mash /
+    template text -- the standard pre-training drop rules.
+
+    Scale shape: three map-side-combined groupBys keyed by (doc_id, gram)
+    then doc_id -- per-doc keys cannot skew across docs, output is
+    corpus-row-sized, and the gram explode is linear in text length (no
+    per-row quadratic higher-order scan).  Docs with < n tokens emit NULL
+    for that signal (no phantom grams); docs with no tokens emit no row,
+    like the rest of the textstats family."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_filtered_toks()).alias("g")
+    )
+    wcnt = toks.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    words = wcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.round(F.lit(1) - F.count("*") / F.sum("c"), 4)
+        .alias("dup_word_frac"),
+    )
+    bcnt = _doc_grams(d, 2).groupBy("doc_id", "g").agg(
+        F.count("*").alias("c")
+    )
+    bi = bcnt.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+    )
+    tcnt = _doc_grams(d, 3).groupBy("doc_id", "g").agg(
+        F.count("*").alias("c")
+    )
+    tri = tcnt.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            4,
+        ).alias("dup_trigram_frac")
+    )
+    return (
+        words.join(bi, "doc_id", "left").join(tri, "doc_id", "left")
+        .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac",
+                "dup_trigram_frac")
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH tokarr AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+),
+wcnt AS (
+    SELECT doc_id, t.g, count(*) AS c
+    FROM tokarr, LATERAL (SELECT unnest(toks) AS g) t
+    GROUP BY doc_id, t.g
+),
+words AS (
+    SELECT doc_id, sum(c) AS n_words,
+           round(1 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_word_frac
+    FROM wcnt GROUP BY doc_id
+),
+bcnt AS (
+    SELECT doc_id, array_to_string(toks[i.i:i.i + 1], ' ') AS g,
+           count(*) AS c
+    FROM tokarr, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 1)) AS i
+    ) i
+    WHERE len(toks) >= 2
+    GROUP BY doc_id, g
+),
+bi AS (
+    SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4)
+               AS top_bigram_frac
+    FROM bcnt GROUP BY doc_id
+),
+tcnt AS (
+    SELECT doc_id, array_to_string(toks[i.i:i.i + 2], ' ') AS g,
+           count(*) AS c
+    FROM tokarr, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 2)) AS i
+    ) i
+    WHERE len(toks) >= 3
+    GROUP BY doc_id, g
+),
+tri AS (
+    SELECT doc_id,
+           round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 4) AS dup_trigram_frac
+    FROM tcnt GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words, w.dup_word_frac,
+       bi.top_bigram_frac, tri.dup_trigram_frac
+FROM words w
+LEFT JOIN bi ON bi.doc_id = w.doc_id
+LEFT JOIN tri ON tri.doc_id = w.doc_id
+"""
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality score (the CCNet/KenLM-style signal,
+    reduced to an oracle-checkable unigram model): train add-one-smoothed
+    unigram probabilities on the corpus itself, then score each doc with
+    ppl = exp(-mean log p(w)).  Outlier-high perplexity flags gibberish,
+    outlier-low flags repetitive boilerplate -- the standard CCNet bucket
+    criterion.
+
+    Scale shape: the model IS a DataFrame (vocab-sized, never collected);
+    token counts aggregate with map-side combine, and the scoring join is
+    a vocab-keyed equi-join that reuses the term hash partitioning.  The
+    ln/exp libm ulp drift between engines is absorbed by the 4 dp round
+    (relative fp noise ~1e-13 vs a 1e-4 grid)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    wc = toks.groupBy("word").agg(F.count("*").alias("c"))
+    tot = wc.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    p = wc.crossJoin(F.broadcast(tot)).select(
+        "word",
+        ((F.col("c") + 1) / (F.col("n") + F.col("v")).cast("double"))
+        .alias("pw"),
+    )
+    dw = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cdw"))
+    return (
+        dw.join(p, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cdw").alias("n_tokens"),
+            F.round(
+                F.exp(
+                    -F.sum(F.col("cdw") * F.log("pw")) / F.sum("cdw")
+                ),
+                4,
+            ).alias("ppl"),
+        )
+    )
+
+
+LM_PERPLEXITY_SQL = """
+WITH toks AS (
+    SELECT d.doc_id, t.word
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+    WHERE t.word <> ''
+),
+wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM wc),
+p AS (
+    SELECT word, (c + 1) / CAST(tot.n + tot.v AS DOUBLE) AS pw
+    FROM wc, tot
+),
+dw AS (SELECT doc_id, word, count(*) AS cdw FROM toks GROUP BY doc_id, word)
+SELECT dw.doc_id, CAST(sum(cdw) AS BIGINT) AS n_tokens,
+       round(exp(-sum(cdw * ln(pw)) / sum(cdw)), 4) AS ppl
+FROM dw JOIN p USING (word)
+GROUP BY dw.doc_id
+"""
+
+
 def pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compiled-regex PII/toxicity scrub through the production kernel
     (FilterModel.scrub inside mapInPandas).  PII is synthesized
@@ -3356,6 +3540,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": sequence_packing,
     "mixture_rates": mixture_rates,
     "streaming_join_attrib": streaming_join_attrib,
+    "doc_repetition": doc_repetition,
+    "lm_perplexity": lm_perplexity,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -3478,6 +3664,8 @@ ORACLE_SQL: dict[str, str] = {
     "substring_dup_pairs": SUBSTRING_DUP_SQL,
     "streaming_late_data": STREAMING_LATE_SQL,
     "word_freq_spectrum": WORD_FREQ_SPECTRUM_SQL,
+    "doc_repetition": DOC_REPETITION_SQL,
+    "lm_perplexity": LM_PERPLEXITY_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,
