@@ -1871,10 +1871,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components_df(corpus.select("doc_id"), pairs)
 
 
-DEDUP_COMPONENTS_SQL = (
-    _NEARDUP_SQL_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
-    + _SIMHASH_CTES
-    + """
+# shared by DEDUP_COMPONENTS_SQL and DEDUP_KEEP_BEST_SQL -- one closure
+# definition so the two oracles can never drift apart
+_COMPONENTS_CTES = """
 , pairs AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
@@ -1892,9 +1891,66 @@ comp AS (
     FROM comp c JOIN edges e ON e.src = c.doc_id
 ),
 final AS (SELECT doc_id, min(label) AS canonical_id FROM comp GROUP BY doc_id)
+"""
+
+DEDUP_COMPONENTS_SQL = (
+    _NEARDUP_SQL_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _SIMHASH_CTES
+    + _COMPONENTS_CTES
+    + """
 SELECT doc_id, canonical_id,
        count(*) OVER (PARTITION BY canonical_id) AS cluster_size
 FROM final
+"""
+)
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that turns duplicate clusters into a training corpus:
+    elect ONE keeper per duplicate cluster by quality (longest text wins;
+    doc_id asc breaks ties) instead of the naive min-id keeper -- truncated
+    or mangled copies must never shadow the fuller original.  Composes the
+    SimHash pair generation and distributed connected components with a
+    per-cluster ranking window.
+
+    Scale shape: the ranking window partitions by canonical_id -- cluster-
+    sized partitions (LSH-bounded), never corpus-sized; the length join is
+    a doc-keyed equi-join.  NULLS LAST pinned on the length ordering both
+    sides (CLAUDE.md window rule)."""
+    from .operators.dedup import dedup_components_df, dedup_simhash_df
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = dedup_simhash_df(corpus, max_hamming=3)
+    comp = dedup_components_df(corpus.select("doc_id"), pairs)
+    lens = corpus.select("doc_id", F.length("text").alias("tlen"))
+    w = W.partitionBy("canonical_id").orderBy(
+        F.desc_nulls_last("tlen"), F.asc("doc_id")
+    )
+    return (
+        comp.join(lens, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id", "canonical_id", "cluster_size",
+            (F.col("rk") == 1).alias("keep"),
+        )
+    )
+
+
+DEDUP_KEEP_BEST_SQL = (
+    _NEARDUP_SQL_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _SIMHASH_CTES
+    + _COMPONENTS_CTES
+    + """
+, sized AS (
+    SELECT doc_id, canonical_id,
+           count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM final
+)
+SELECT s.doc_id, s.canonical_id, s.cluster_size,
+       row_number() OVER (
+           PARTITION BY s.canonical_id
+           ORDER BY length(c.text) DESC NULLS LAST, s.doc_id ASC) = 1 AS keep
+FROM sized s JOIN corpus c ON c.doc_id = s.doc_id
 """
 )
 
@@ -3542,6 +3598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_join_attrib": streaming_join_attrib,
     "doc_repetition": doc_repetition,
     "lm_perplexity": lm_perplexity,
+    "dedup_keep_best": dedup_keep_best,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -3666,6 +3723,7 @@ ORACLE_SQL: dict[str, str] = {
     "word_freq_spectrum": WORD_FREQ_SPECTRUM_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "lm_perplexity": LM_PERPLEXITY_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

@@ -227,3 +227,35 @@ def test_band_freq_guard_off_restores_exhaustive(spark):
     assert len(pairs) == 45  # all 10-choose-2 exact-dup pairs
     guarded = dedup_minhash_lsh_df(docs, max_band_freq=5).collect()
     assert guarded == []
+
+
+def test_keep_best_prefers_longest_not_min_id(spark, tmp_path):
+    """dedup_keep_best must elect the LONGEST doc in a cluster even when
+    its doc_id is higher -- the case that distinguishes quality-keeper
+    election from naive min-id keeping (canonical_id stays the min id;
+    only the keep flag moves)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from languagedetection_spark.entry_queries import dedup_keep_best
+
+    words = [f"w{i}" for i in range(60)]
+    trunc = " ".join(words)          # doc 3: the shorter copy, LOWER id
+    full = trunc + " extra"          # doc 13: fuller original (hamming 3)
+    filler = [
+        (100 + i, " ".join(f"x{i}y{j}z{i + j}" for j in range(30)))
+        for i in range(5)
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([3, 13] + [f[0] for f in filler], pa.int64()),
+        "text": [trunc, full] + [f[1] for f in filler],
+        "lang": ["en"] * 7,
+        "source": ["src0"] * 7,
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert rows[3]["canonical_id"] == rows[13]["canonical_id"] == 3
+    assert rows[13]["keep"] is True      # longest wins ...
+    assert rows[3]["keep"] is False      # ... not the min id
+    assert rows[100]["keep"] is True     # singletons keep themselves

@@ -95,7 +95,7 @@ EDGE_SAFE_QUERIES = (
     "tfidf_top_terms", "doc_char_entropy", "inverted_index",
     "normalize_text", "collocations_lift", "substring_dup_pairs",
     "word_freq_spectrum", "sequence_packing", "mixture_rates",
-    "doc_repetition", "lm_perplexity",
+    "doc_repetition", "lm_perplexity", "dedup_keep_best",
 )
 
 
