@@ -993,6 +993,93 @@ GROUP BY dw.doc_id
 """
 
 
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): hashed-unigram bag
+    features over B=1024 md5 buckets; target distribution = the in-domain
+    slice (source = 'src0'), raw distribution = the whole corpus; per-doc
+    log importance weight = sum over tokens of log(p_target(bucket) /
+    p_raw(bucket)) with add-one smoothing.  Docs that look like the
+    target domain get high weights and are upsampled.
+
+    Scale shape: both feature distributions are B-row aggregates (map-side
+    combined, bucket-bounded output); the per-doc scoring join is on the
+    1024-row ratio table -- broadcast-sized by construction no matter the
+    corpus.  The md5 bucket recipe is the same engine-portable form the
+    hashed-ngram langid uses, so the oracle reproduces exact bucket ids;
+    ln ulp drift is absorbed by the 4 dp round."""
+    B = 1024
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter("w <> ''")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % B
+    ).alias("b")
+    tb = toks.select("doc_id", "source", bucket)
+    tgt = tb.filter("source = 'src0'").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    nr = raw.agg(F.sum("cr").alias("nr"))
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + B)
+                )
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + B))
+            ).alias("lr"),
+        )
+    )
+    per = tb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        per.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("log_weight"),
+        )
+    )
+
+
+IMPORTANCE_WEIGHTS_SQL = """
+WITH toks AS (
+    SELECT d.doc_id, d.source, t.w
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) t
+    WHERE t.w <> ''
+),
+tb AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+    FROM toks
+),
+tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY b),
+raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM tgt),
+nr AS (SELECT sum(cr) AS nr FROM raw),
+ratios AS (
+    SELECT raw.b,
+           ln((coalesce(tgt.ct, 0) + 1.0) / CAST(nt.nt + 1024 AS DOUBLE))
+         - ln((raw.cr + 1.0) / CAST(nr.nr + 1024 AS DOUBLE)) AS lr
+    FROM raw LEFT JOIN tgt ON tgt.b = raw.b, nt, nr
+),
+per AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b)
+SELECT per.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * lr), 4) AS log_weight
+FROM per JOIN ratios ON ratios.b = per.b
+GROUP BY per.doc_id
+"""
+
+
 def pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compiled-regex PII/toxicity scrub through the production kernel
     (FilterModel.scrub inside mapInPandas).  PII is synthesized
@@ -3599,6 +3686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": doc_repetition,
     "lm_perplexity": lm_perplexity,
     "dedup_keep_best": dedup_keep_best,
+    "importance_weights": importance_weights,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -3724,6 +3812,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_repetition": DOC_REPETITION_SQL,
     "lm_perplexity": LM_PERPLEXITY_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "importance_weights": IMPORTANCE_WEIGHTS_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

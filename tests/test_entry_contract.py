@@ -96,6 +96,7 @@ EDGE_SAFE_QUERIES = (
     "normalize_text", "collocations_lift", "substring_dup_pairs",
     "word_freq_spectrum", "sequence_packing", "mixture_rates",
     "doc_repetition", "lm_perplexity", "dedup_keep_best",
+    "importance_weights",
 )
 
 
@@ -452,3 +453,21 @@ def test_streaming_late_data_actually_drops(spark):
               <= mx.m - INTERVAL 1 HOUR
     """).fetchone()[0]
     assert len(out) == n_expected
+
+
+def test_importance_weights_rank_in_domain_first(spark):
+    """DSIR semantics: the target slice (source='src0') must have the
+    highest mean per-token log importance weight of all sources -- the
+    direction that makes resampling upsample in-domain lookalikes."""
+    from pyspark.sql import functions as F
+
+    iw = entry_mod.queries()["importance_weights"](spark, SF_DIR)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_src = (
+        iw.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.avg(F.col("log_weight") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    best = max(per_src, key=lambda r: r["m"])
+    assert best["source"] == "src0"
