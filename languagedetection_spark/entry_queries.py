@@ -2254,6 +2254,117 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.2
 """
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means over the embeddings table
+    (operators/similarity.py::quantized_kmeans_df): k=8 centroids seeded
+    from the 8 smallest vec_ids, two Lloyd update rounds, final
+    assignment.  All distances and centroid updates are exact integer /
+    correctly-rounded-IEEE arithmetic, so the oracle's sequential
+    2-round unroll reproduces every assignment bit-for-bit -- clustering
+    as a CONTRACT operator, not a best-effort one."""
+    from .operators.similarity import quantized_kmeans_df
+
+    return quantized_kmeans_df(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+# shared 2-round Lloyd unroll: EMBEDDING_KMEANS_SQL outputs the final
+# assignment, SEMDEDUP_PAIRS_SQL the within-cluster near-dup pairs
+_KMEANS_CTES = f"""
+WITH valid AS (
+    SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB_SQL}
+),
+qdim AS (
+    SELECT vec_id, i.i - 1 AS dim,
+           CAST(floor(embedding[i.i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS qx
+    FROM valid, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+    ) i
+),
+stats AS (SELECT count(*) AS n FROM valid),
+ranked AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+    FROM valid
+),
+init AS (  -- evenly-strided rank seeding, mirroring quantized_kmeans_df
+    SELECT r.vec_id,
+           CAST(r.rn // greatest(s.n // 8, 1) AS INT) AS cluster
+    FROM ranked r, stats s
+    WHERE r.rn % greatest(s.n // 8, 1) = 0
+      AND r.rn // greatest(s.n // 8, 1) < 8
+),
+c0 AS (SELECT i.cluster, d.dim, d.qx AS cx
+       FROM init i JOIN qdim d USING (vec_id)),
+d1 AS (SELECT q.vec_id, c.cluster,
+              sum((q.qx - c.cx) * (q.qx - c.cx)) AS dist
+       FROM qdim q JOIN c0 c ON c.dim = q.dim
+       GROUP BY q.vec_id, c.cluster),
+a1 AS (SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d1)
+       WHERE rk = 1),
+c1 AS (SELECT a.cluster, d.dim,
+              CAST(floor(sum(d.qx) * 1.0 / count(*) + 0.5) AS BIGINT) AS cx
+       FROM a1 a JOIN qdim d USING (vec_id) GROUP BY a.cluster, d.dim),
+d2 AS (SELECT q.vec_id, c.cluster,
+              sum((q.qx - c.cx) * (q.qx - c.cx)) AS dist
+       FROM qdim q JOIN c1 c ON c.dim = q.dim
+       GROUP BY q.vec_id, c.cluster),
+a2 AS (SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d2)
+       WHERE rk = 1),
+c2 AS (SELECT a.cluster, d.dim,
+              CAST(floor(sum(d.qx) * 1.0 / count(*) + 0.5) AS BIGINT) AS cx
+       FROM a2 a JOIN qdim d USING (vec_id) GROUP BY a.cluster, d.dim),
+d3 AS (SELECT q.vec_id, c.cluster,
+              sum((q.qx - c.cx) * (q.qx - c.cx)) AS dist
+       FROM qdim q JOIN c2 c ON c.dim = q.dim
+       GROUP BY q.vec_id, c.cluster),
+a3 AS (SELECT vec_id, cluster, dist FROM (
+           SELECT vec_id, cluster, dist, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cluster) AS rk FROM d3)
+       WHERE rk = 1)
+"""
+
+EMBEDDING_KMEANS_SQL = (
+    _KMEANS_CTES
+    + """
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       CAST(dist AS BIGINT) AS sq_dist
+FROM a3
+"""
+)
+
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup pairs found
+    within k-means clusters only (operators/similarity.py::
+    semdedup_pairs_df) -- the data-adaptive complement to the fixed
+    sign-LSH bucketing of dedup_embedding_cosine."""
+    from .operators.similarity import semdedup_pairs_df
+
+    return semdedup_pairs_df(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, k=8, iters=2
+    )
+
+
+SEMDEDUP_PAIRS_SQL = (
+    _KMEANS_CTES
+    + """
+, emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM valid)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(a.cluster AS INT) AS cluster,
+       round(list_cosine_similarity(ea.emb, eb.emb), 4) AS sim
+FROM a3 a
+JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+JOIN emb ea ON ea.vec_id = a.vec_id
+JOIN emb eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: fingerprint / BPE-ish token count / langid heuristic / split
 # ---------------------------------------------------------------------------
@@ -3687,6 +3798,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": lm_perplexity,
     "dedup_keep_best": dedup_keep_best,
     "importance_weights": importance_weights,
+    "embedding_kmeans": embedding_kmeans,
+    "semdedup_pairs": semdedup_pairs,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -3813,6 +3926,8 @@ ORACLE_SQL: dict[str, str] = {
     "lm_perplexity": LM_PERPLEXITY_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "importance_weights": IMPORTANCE_WEIGHTS_SQL,
+    "embedding_kmeans": EMBEDDING_KMEANS_SQL,
+    "semdedup_pairs": SEMDEDUP_PAIRS_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

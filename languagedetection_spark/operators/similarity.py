@@ -331,3 +331,131 @@ def ann_sq_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
         .select("query_id", "neighbor_id",
                 F.round("sim_raw", 4).alias("sim"), "rank")
     )
+
+
+KMEANS_SCALE = 1000
+
+
+def _quantize(emb_col: str):
+    """Integer quantization q_i = floor(x_i * SCALE + 0.5): every later
+    distance and centroid update stays in EXACT integer / correctly-
+    rounded-IEEE arithmetic, so cluster assignments are bit-identical
+    across engines and partitionings -- no near-tie can flip on summation
+    order (floor and double divide are exact on both engines; F.round's
+    HALF_UP vs SQL's banker-rounding never enters)."""
+    return F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda x: F.floor(x * KMEANS_SCALE + F.lit(0.5)).cast("long"),
+    )
+
+
+def _kmeans_assign(v: DataFrame, cents: list[tuple[int, list[int]]]):
+    """Map-only assignment: centroids are LITERAL arrays compiled into the
+    plan (model-sized, k x dim), distances fold row-locally, and the
+    argmin is an array_min over (dist, cluster) structs -- tie-break
+    smallest cluster id.  NO shuffle: the big side streams."""
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "qv", F.array(*[F.lit(int(c)) for c in cen]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(j).alias("cluster"),
+        )
+        for j, cen in cents
+    ]
+    best = F.array_min(F.array(*structs))
+    return v.select(
+        "vec_id", "qv",
+        best["cluster"].alias("cluster"), best["dist"].alias("sq_dist"),
+    )
+
+
+def quantized_kmeans_df(emb: DataFrame, k: int = 8, iters: int = 2,
+                        emb_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means over quantized embeddings: init = the
+    k vectors at evenly-strided vec_id RANKS (rank j * (n // k) -- a
+    spread seeding that, unlike first-k, never starts all centroids
+    inside one dense region), *iters* update rounds, final
+    re-assignment.  Returns (vec_id, cluster, sq_dist).
+
+    Scale shape: assignment is map-only (broadcast-literal centroids);
+    the only shuffles are the k*dim-bounded centroid-update aggregates
+    (map-side combined) and the one-off init rank over the ID COLUMN
+    only (at extreme scale swap in a sampled seeding -- documented
+    deviation would then need an oracle regen).  The per-round driver
+    collect is model-sized (k x dim longs), never corpus-proportional.
+    Empty clusters drop out (the standard Lloyd degeneracy),
+    identically on both engines."""
+    spark = emb.sparkSession
+    v = valid_embeddings(emb, emb_col).select(
+        "vec_id", _quantize(emb_col).alias("qv")
+    )
+    n = v.count()
+    stride = max(n // k, 1)
+    wn = W.orderBy("vec_id")
+    init = (
+        v.select("vec_id", "qv",
+                 (F.row_number().over(wn) - 1).alias("rn"))
+        .filter((F.col("rn") % stride == 0)
+                & (F.col("rn") / stride < k))
+        .collect()
+    )
+    cents = [(int(r["rn"] // stride), list(r["qv"])) for r in init]
+    for _ in range(iters):
+        a = _kmeans_assign(v, cents)
+        sums = (
+            a.select("cluster", F.posexplode("qv").alias("dim", "qx"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(F.sum("qx") / F.count("*") + F.lit(0.5))
+                .cast("long").alias("cx")
+            )
+            .collect()
+        )
+        by: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by.setdefault(r["cluster"], {})[r["dim"]] = r["cx"]
+        cents = [
+            (j, [dims[i] for i in range(len(dims))])
+            for j, dims in sorted(by.items())
+        ]
+    return _kmeans_assign(v, cents).select("vec_id", "cluster", "sq_dist")
+
+
+def semdedup_pairs_df(emb: DataFrame, threshold: float = 0.2,
+                      k: int = 8, iters: int = 2,
+                      emb_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    WITHIN k-means clusters only -- the cluster assignment prunes the
+    all-pairs cosine to per-cluster blocks, the scalable formulation of
+    embedding dedup (complements the sign-LSH variant: clusters follow
+    the data distribution instead of fixed axis signs).
+
+    Scale shape: the pair join is keyed by cluster (bounded blocks at
+    real k), cosine verification only inside blocks; assignment itself
+    is the map-only quantized-kmeans path."""
+    assign = quantized_kmeans_df(emb, k=k, iters=iters, emb_col=emb_col)
+    e = _with_norm(emb, emb_col).select(
+        "vec_id", "_emb", "_nrm"
+    ).join(assign.select("vec_id", "cluster"), "vec_id")
+    a = e.select(F.col("vec_id").alias("vec_a"), "cluster",
+                 F.col("_emb").alias("_ea"), F.col("_nrm").alias("_na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "cluster",
+                 F.col("_emb").alias("_eb"), F.col("_nrm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    sim = F.round(dot / (F.col("_na") * F.col("_nb")), 4)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "cluster", "sim")
+    )

@@ -178,3 +178,51 @@ def test_embedding_bucket_guard_bounds_identical_crowds(spark):
     full = dedup_embedding_cosine_df(df, threshold=0.9,
                                      max_bucket_freq=None).collect()
     assert any(r["vec_a"] < 500 and r["vec_b"] < 500 for r in full)
+
+
+def test_kmeans_recovers_planted_clusters(clustered_df):
+    """Quantized Lloyd on well-separated planted clusters: points of one
+    planted cluster must co-cluster (purity >= 0.9 with k = the planted
+    count), and two update rounds must not increase total within-cluster
+    distance vs zero rounds."""
+    from collections import Counter
+
+    from languagedetection_spark.operators.similarity import (
+        quantized_kmeans_df,
+    )
+
+    df, C, X = clustered_df
+    out = quantized_kmeans_df(df, k=10, iters=2).collect()
+    assert len(out) == len(X)
+    true = {i: i // 30 for i in range(len(X))}
+    by_cluster: dict[int, Counter] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], Counter())[
+            true[r["vec_id"]]] += 1
+    purity = sum(c.most_common(1)[0][1] for c in by_cluster.values())
+    assert purity / len(X) >= 0.9
+    d0 = sum(r["sq_dist"]
+             for r in quantized_kmeans_df(df, k=10, iters=0).collect())
+    d2 = sum(r["sq_dist"] for r in out)
+    assert d2 <= d0
+
+
+def test_semdedup_finds_planted_near_dups(spark):
+    """A vector and its tiny perturbation must land in one k-means cluster
+    and surface as a semantic near-dup pair; unrelated isotropic noise
+    stays below the threshold."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    rows = [(0, [float(v) for v in base]),
+            (1, [float(v) for v in base + 0.01 * rng.normal(size=16)])]
+    rows += [(i, [float(v) for v in rng.normal(size=16)])
+             for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from languagedetection_spark.operators.similarity import (
+        semdedup_pairs_df,
+    )
+
+    pairs = {(r["vec_a"], r["vec_b"]): r["sim"]
+             for r in semdedup_pairs_df(df, threshold=0.9, k=4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.99
+    assert all(p == (0, 1) for p in pairs)
