@@ -3267,6 +3267,96 @@ FROM (
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/similarity.py::pq_topk_df): a
+    TRAINED codebook compression path beside the fixed-grid ann_sq_topk
+    -- per-subspace k-means codebooks (4 subspaces x 8 codewords, one
+    Lloyd round), database vectors encoded as 4 codeword ids, asymmetric
+    squared-L2 ADC scan, per-query top-3.  Exact integer arithmetic end
+    to end, so the oracle unrolls seeding, the training round, encoding,
+    and every ADC distance bit-for-bit."""
+    from .operators.similarity import pq_topk_df
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk_df(e, e.filter("vec_id < 20"), k=3)
+
+
+ANN_PQ_SQL = f"""
+WITH valid AS (
+    SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB_SQL}
+),
+dims AS (SELECT max(len(embedding)) // 4 AS ds FROM valid),
+qdim AS (
+    SELECT vec_id, i.i - 1 AS dim,
+           CAST(floor(embedding[i.i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS qx
+    FROM valid, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+    ) i
+),
+sdim AS (  -- (subspace, within-subspace dim) split; trailing dims ignored
+    SELECT q.vec_id, CAST(q.dim // d.ds AS INT) AS sub,
+           CAST(q.dim % d.ds AS INT) AS sd, q.qx
+    FROM qdim q, dims d
+    WHERE q.dim < 4 * d.ds
+),
+stats AS (SELECT count(*) AS n FROM valid),
+ranked AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM valid
+),
+init AS (  -- evenly-strided rank seeding, mirroring pq_train_codebooks
+    SELECT r.vec_id,
+           CAST(r.rn // greatest(s.n // 8, 1) AS INT) AS cluster
+    FROM ranked r, stats s
+    WHERE r.rn % greatest(s.n // 8, 1) = 0
+      AND r.rn // greatest(s.n // 8, 1) < 8
+),
+c0 AS (SELECT i.cluster, s.sub, s.sd, s.qx AS cx
+       FROM init i JOIN sdim s USING (vec_id)),
+d1 AS (SELECT s.vec_id, s.sub, c.cluster,
+              sum((s.qx - c.cx) * (s.qx - c.cx)) AS dist
+       FROM sdim s JOIN c0 c ON c.sub = s.sub AND c.sd = s.sd
+       GROUP BY s.vec_id, s.sub, c.cluster),
+a1 AS (SELECT vec_id, sub, cluster FROM (
+           SELECT vec_id, sub, cluster, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rk
+           FROM d1)
+       WHERE rk = 1),
+c1 AS (  -- one training round: per-(subspace, codeword) rounded mean
+    SELECT a.sub, a.cluster, s.sd,
+           CAST(floor(sum(s.qx) * 1.0 / count(*) + 0.5) AS BIGINT) AS cx
+    FROM a1 a JOIN sdim s ON s.vec_id = a.vec_id AND s.sub = a.sub
+    GROUP BY a.sub, a.cluster, s.sd),
+d2 AS (SELECT s.vec_id, s.sub, c.cluster,
+              sum((s.qx - c.cx) * (s.qx - c.cx)) AS dist
+       FROM sdim s JOIN c1 c ON c.sub = s.sub AND c.sd = s.sd
+       GROUP BY s.vec_id, s.sub, c.cluster),
+a2 AS (SELECT vec_id, sub, cluster FROM (
+           SELECT vec_id, sub, cluster, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rk
+           FROM d2)
+       WHERE rk = 1),
+recon AS (  -- PQ code -> codeword reconstruction per subspace dim
+    SELECT a.vec_id, c.sub, c.sd, c.cx
+    FROM a2 a JOIN c1 c ON c.sub = a.sub AND c.cluster = a.cluster),
+q AS (SELECT s.vec_id AS query_id, s.sub, s.sd, s.qx
+      FROM sdim s WHERE s.vec_id < 20),
+pairs AS (
+    SELECT q.query_id, r.vec_id AS neighbor_id,
+           sum((r.cx - q.qx) * (r.cx - q.qx)) AS adc_dist
+    FROM q JOIN recon r
+      ON r.sub = q.sub AND r.sd = q.sd AND r.vec_id <> q.query_id
+    GROUP BY q.query_id, r.vec_id
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
 def axiom_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-19 (TrainingResult.scala:66-79): per language, axiom count vs
     induction count with score != 0.0, over the mean-adjust fold's final
@@ -3800,6 +3890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_weights": importance_weights,
     "embedding_kmeans": embedding_kmeans,
     "semdedup_pairs": semdedup_pairs,
+    "ann_pq_topk": ann_pq_topk,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -3928,6 +4019,7 @@ ORACLE_SQL: dict[str, str] = {
     "importance_weights": IMPORTANCE_WEIGHTS_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "semdedup_pairs": SEMDEDUP_PAIRS_SQL,
+    "ann_pq_topk": ANN_PQ_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

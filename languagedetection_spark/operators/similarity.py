@@ -459,3 +459,148 @@ def semdedup_pairs_df(emb: DataFrame, threshold: float = 0.2,
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "cluster", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantized ANN (PQ + ADC): the trained-codebook compression path
+# ---------------------------------------------------------------------------
+
+PQ_SUB = 4      # subspaces (dim must divide evenly)
+PQ_CODES = 8    # codewords per subspace -> code = PQ_SUB small ints/vector
+
+
+def _pq_best(sub_slice, cents_m, with_cent=False):
+    """Map-only nearest-codeword pick for ONE subspace: codewords are
+    LITERAL integer arrays compiled into the plan, squared-L2 folds
+    row-locally in exact long arithmetic, argmin = array_min over
+    (dist, cluster[, cent]) structs with the smallest-cluster tie-break.
+    The optional `cent` field rides along for reconstruction and never
+    affects ordering ((dist, cluster) is already unique per struct)."""
+    structs = []
+    for j, cen in cents_m:
+        fields = [
+            F.aggregate(
+                F.zip_with(
+                    sub_slice,
+                    F.array(*[F.lit(int(c)) for c in cen]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(j).alias("cluster"),
+        ]
+        if with_cent:
+            fields.append(
+                F.array(*[F.lit(int(c)) for c in cen]).alias("cent"))
+        structs.append(F.struct(*fields))
+    return F.array_min(F.array(*structs))
+
+
+def pq_train_codebooks(v: DataFrame, m_sub: int, ds: int,
+                       k_codes: int, iters: int):
+    """Deterministic per-subspace Lloyd training over quantized vectors
+    (v = (vec_id, qv)): seeds are the k vectors at evenly-strided vec_id
+    ranks (each seed contributes its m-th slice as subspace m's codeword
+    j), then `iters` update rounds.  Same exact-integer arithmetic as
+    quantized_kmeans_df, so an SQL unroll reproduces every codeword.
+
+    Scale shape: assignment is map-only (literal codewords); the update
+    aggregate is bounded by m_sub*k_codes*ds groups (map-side combined);
+    per-round collects are model-sized, never corpus-proportional."""
+    n = v.count()
+    stride = max(n // k_codes, 1)
+    wn = W.orderBy("vec_id")
+    init = (
+        v.select("vec_id", "qv",
+                 (F.row_number().over(wn) - 1).alias("rn"))
+        .filter((F.col("rn") % stride == 0)
+                & (F.col("rn") / stride < k_codes))
+        .collect()
+    )
+    cents = {
+        m: [(int(r["rn"] // stride),
+             [int(x) for x in r["qv"][m * ds:(m + 1) * ds]])
+            for r in init]
+        for m in range(m_sub)
+    }
+    for _ in range(iters):
+        codes = F.array(*[
+            _pq_best(F.slice("qv", m * ds + 1, ds), cents[m])["cluster"]
+            for m in range(m_sub)
+        ])
+        sums = (
+            v.select("qv", F.posexplode(codes).alias("sub", "cluster"))
+            .select(
+                "sub", "cluster",
+                F.posexplode(
+                    F.slice("qv", F.col("sub") * ds + 1, F.lit(ds))
+                ).alias("sdim", "qx"),
+            )
+            .groupBy("sub", "cluster", "sdim")
+            .agg(F.floor(F.sum("qx") / F.count("*") + F.lit(0.5))
+                 .cast("long").alias("cx"))
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            by.setdefault((r["sub"], r["cluster"]), {})[r["sdim"]] = r["cx"]
+        cents = {m: [] for m in range(m_sub)}
+        for (m, j), dims in sorted(by.items()):
+            cents[m].append((j, [dims[i] for i in range(len(dims))]))
+    return cents
+
+
+def pq_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
+               m_sub: int = PQ_SUB, k_codes: int = PQ_CODES,
+               iters: int = 1, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze & Schmid 2011, TPAMI):
+    train per-subspace codebooks, encode each database vector as m_sub
+    codeword ids, scan with asymmetric squared-L2 (exact quantized query
+    vs codeword reconstruction), rank per query.  All arithmetic is
+    exact integer, so the DuckDB oracle reproduces codebooks, codes, and
+    every ADC distance bit-for-bit.
+
+    Scale shape: a 100 TB float32 embedding column stores as m_sub
+    small ints/vector (64x smaller here); encode + ADC scan are map-only
+    against broadcast-literal codebooks (the classical ADC lookup-table
+    trick is exactly this distance, factored per subspace); the only
+    shuffle is the per-query top-k rank.  Pair with IVF cells for the
+    pruned IVF-PQ composite."""
+    v = valid_embeddings(df, emb_col).select(
+        F.col(id_col).alias("vec_id"), _quantize(emb_col).alias("qv"))
+    drow = v.select(F.max(F.size("qv")).alias("d")).collect()[0]
+    if drow["d"] is None:   # no valid vectors: empty result, right schema
+        return v.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0).cast("long").alias("adc_dist"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    ds = int(drow["d"]) // m_sub
+    cents = pq_train_codebooks(v, m_sub, ds, k_codes, iters)
+    bests = [
+        _pq_best(F.slice("qv", m * ds + 1, ds), cents[m], with_cent=True)
+        for m in range(m_sub)
+    ]
+    recon = F.concat(*[b["cent"] for b in bests])
+    base = v.select(F.col("vec_id").alias("neighbor_id"),
+                    recon.alias("_recon"))
+    q = valid_embeddings(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), _quantize(emb_col).alias("_qqv"))
+    pairs = base.join(F.broadcast(q),
+                      F.col("neighbor_id") != F.col("query_id"))
+    dist = F.aggregate(
+        F.zip_with("_recon", "_qqv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                          F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
