@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "label_centroids",
     "sequence_packing",
     "mixture_rates",
+    "doc_repetition",
+    "lm_perplexity",
+    "dedup_keep_best",
+    "importance_weights",
+    "embedding_kmeans",
+    "semdedup_pairs",
+    "ann_pq_topk",
 ]  # streaming_join_attrib excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

@@ -220,3 +220,15 @@ def test_winnow_fingerprints_map_only(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(winnow_fingerprints_df(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_pq_adc_scan_is_broadcast_map_only(spark):
+    """The PQ ADC scan is the 100 TB hot path: encoded database vectors
+    stream map-side against broadcast-literal codebooks and a BROADCAST
+    query set -- no sort-merge join; the only exchange is the per-query
+    top-k window shuffle."""
+    from languagedetection_spark.entry_queries import ann_pq_topk
+
+    plan = _plan(ann_pq_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
