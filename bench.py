@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "semdedup_pairs",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]  # streaming_join_attrib excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

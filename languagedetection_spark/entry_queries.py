@@ -3357,6 +3357,129 @@ FROM (
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.py::ivfpq_topk_df):
+    coarse k-means cells (k=4, one Lloyd round) prune the scan to the
+    query's cell (nprobe=1), PQ codes (4x8 codebooks) supply asymmetric
+    ADC distances within it -- the classical production configuration.
+    Both stages are exact-integer contract kernels, so the oracle
+    unrolls coarse training, PQ training, encoding, cell routing, and
+    every ADC distance bit-for-bit."""
+    from .operators.similarity import ivfpq_topk_df
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_df(e, e.filter("vec_id < 20"), k=3)
+
+
+ANN_IVFPQ_SQL = f"""
+WITH valid AS (
+    SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB_SQL}
+),
+dims AS (SELECT max(len(embedding)) // 4 AS ds FROM valid),
+qdim AS (
+    SELECT vec_id, i.i - 1 AS dim,
+           CAST(floor(embedding[i.i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS qx
+    FROM valid, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+    ) i
+),
+sdim AS (
+    SELECT q.vec_id, CAST(q.dim // d.ds AS INT) AS sub,
+           CAST(q.dim % d.ds AS INT) AS sd, q.qx
+    FROM qdim q, dims d
+    WHERE q.dim < 4 * d.ds
+),
+stats AS (SELECT count(*) AS n FROM valid),
+ranked AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM valid
+),
+-- coarse quantizer: k=4 cells, strided-rank seeds, ONE Lloyd round
+kinit AS (
+    SELECT r.vec_id,
+           CAST(r.rn // greatest(s.n // 4, 1) AS INT) AS cell
+    FROM ranked r, stats s
+    WHERE r.rn % greatest(s.n // 4, 1) = 0
+      AND r.rn // greatest(s.n // 4, 1) < 4
+),
+kc0 AS (SELECT i.cell, d.dim, d.qx AS cx
+        FROM kinit i JOIN qdim d USING (vec_id)),
+kd1 AS (SELECT q.vec_id, c.cell,
+               sum((q.qx - c.cx) * (q.qx - c.cx)) AS dist
+        FROM qdim q JOIN kc0 c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cell),
+ka1 AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM kd1)
+        WHERE rk = 1),
+kc1 AS (SELECT a.cell, d.dim,
+               CAST(floor(sum(d.qx) * 1.0 / count(*) + 0.5) AS BIGINT) AS cx
+        FROM ka1 a JOIN qdim d USING (vec_id) GROUP BY a.cell, d.dim),
+kd2 AS (SELECT q.vec_id, c.cell,
+               sum((q.qx - c.cx) * (q.qx - c.cx)) AS dist
+        FROM qdim q JOIN kc1 c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cell),
+ka2 AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM kd2)
+        WHERE rk = 1),
+-- PQ codebooks: k=8 codewords per subspace, strided-rank seeds, one round
+init AS (
+    SELECT r.vec_id,
+           CAST(r.rn // greatest(s.n // 8, 1) AS INT) AS cluster
+    FROM ranked r, stats s
+    WHERE r.rn % greatest(s.n // 8, 1) = 0
+      AND r.rn // greatest(s.n // 8, 1) < 8
+),
+c0 AS (SELECT i.cluster, s.sub, s.sd, s.qx AS cx
+       FROM init i JOIN sdim s USING (vec_id)),
+d1 AS (SELECT s.vec_id, s.sub, c.cluster,
+              sum((s.qx - c.cx) * (s.qx - c.cx)) AS dist
+       FROM sdim s JOIN c0 c ON c.sub = s.sub AND c.sd = s.sd
+       GROUP BY s.vec_id, s.sub, c.cluster),
+a1 AS (SELECT vec_id, sub, cluster FROM (
+           SELECT vec_id, sub, cluster, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rk
+           FROM d1)
+       WHERE rk = 1),
+c1 AS (
+    SELECT a.sub, a.cluster, s.sd,
+           CAST(floor(sum(s.qx) * 1.0 / count(*) + 0.5) AS BIGINT) AS cx
+    FROM a1 a JOIN sdim s ON s.vec_id = a.vec_id AND s.sub = a.sub
+    GROUP BY a.sub, a.cluster, s.sd),
+d2 AS (SELECT s.vec_id, s.sub, c.cluster,
+              sum((s.qx - c.cx) * (s.qx - c.cx)) AS dist
+       FROM sdim s JOIN c1 c ON c.sub = s.sub AND c.sd = s.sd
+       GROUP BY s.vec_id, s.sub, c.cluster),
+a2 AS (SELECT vec_id, sub, cluster FROM (
+           SELECT vec_id, sub, cluster, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rk
+           FROM d2)
+       WHERE rk = 1),
+recon AS (
+    SELECT a.vec_id, c.sub, c.sd, c.cx
+    FROM a2 a JOIN c1 c ON c.sub = a.sub AND c.cluster = a.cluster),
+-- queries are corpus rows, so their cell comes from the same assignment
+q AS (SELECT s.vec_id AS query_id, k.cell AS qcell, s.sub, s.sd, s.qx
+      FROM sdim s JOIN ka2 k USING (vec_id) WHERE s.vec_id < 20),
+pairs AS (
+    SELECT q.query_id, r.vec_id AS neighbor_id, q.qcell AS cell,
+           sum((r.cx - q.qx) * (r.cx - q.qx)) AS adc_dist
+    FROM q
+    JOIN ka2 kr ON kr.cell = q.qcell
+    JOIN recon r ON r.vec_id = kr.vec_id
+      AND r.sub = q.sub AND r.sd = q.sd AND r.vec_id <> q.query_id
+    GROUP BY q.query_id, r.vec_id, q.qcell
+)
+SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell,
+       CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
 def axiom_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-19 (TrainingResult.scala:66-79): per language, axiom count vs
     induction count with score != 0.0, over the mean-adjust fold's final
@@ -3891,6 +4014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": embedding_kmeans,
     "semdedup_pairs": semdedup_pairs,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4020,6 +4144,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "semdedup_pairs": SEMDEDUP_PAIRS_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
+    "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

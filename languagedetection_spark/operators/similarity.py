@@ -391,10 +391,19 @@ def quantized_kmeans_df(emb: DataFrame, k: int = 8, iters: int = 2,
     collect is model-sized (k x dim longs), never corpus-proportional.
     Empty clusters drop out (the standard Lloyd degeneracy),
     identically on both engines."""
-    spark = emb.sparkSession
     v = valid_embeddings(emb, emb_col).select(
         "vec_id", _quantize(emb_col).alias("qv")
     )
+    cents = kmeans_train_centroids(v, k, iters)
+    return _kmeans_assign(v, cents).select("vec_id", "cluster", "sq_dist")
+
+
+def kmeans_train_centroids(v: DataFrame, k: int,
+                           iters: int) -> list[tuple[int, list[int]]]:
+    """The Lloyd training loop of quantized_kmeans_df, factored so the
+    IVF-PQ composite can assign NEW vectors (queries) with the same
+    trained coarse centroids.  v = (vec_id, qv); same exact-integer
+    arithmetic and strided-rank seeding as the contract operator."""
     n = v.count()
     stride = max(n // k, 1)
     wn = W.orderBy("vec_id")
@@ -424,7 +433,7 @@ def quantized_kmeans_df(emb: DataFrame, k: int = 8, iters: int = 2,
             (j, [dims[i] for i in range(len(dims))])
             for j, dims in sorted(by.items())
         ]
-    return _kmeans_assign(v, cents).select("vec_id", "cluster", "sq_dist")
+    return cents
 
 
 def semdedup_pairs_df(emb: DataFrame, threshold: float = 0.2,
@@ -603,4 +612,77 @@ def pq_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
+                  n_cells: int = 4, m_sub: int = PQ_SUB,
+                  k_codes: int = PQ_CODES, iters: int = 1,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """IVF-PQ composite (the production configuration of Jegou et al.
+    2011): a coarse quantizer prunes the scan to the query's cell
+    (nprobe = 1), and within the cell distances come from PQ codes via
+    asymmetric ADC.  Both stages reuse the exact-integer contract
+    kernels (kmeans_train_centroids + pq_train_codebooks), so the
+    DuckDB oracle reproduces cells, codebooks, codes, and every ADC
+    distance bit-for-bit.
+
+    Scale shape: the database stores (cell, 4 codeword ids) per vector
+    -- partition the codes table BY CELL and a query touches one
+    partition (the IVF prune is partition pruning); the scan join is a
+    cell-keyed equi-join against the broadcast query set instead of
+    pq_topk_df's broadcast-all, cutting scanned candidates ~n_cells x;
+    codebooks and coarse centroids are literal/model-sized.  Queries
+    are assigned with the SAME trained centroids, so out-of-corpus
+    query vectors route identically on any engine."""
+    v = valid_embeddings(df, emb_col).select(
+        F.col(id_col).alias("vec_id"), _quantize(emb_col).alias("qv"))
+    drow = v.select(F.max(F.size("qv")).alias("d")).collect()[0]
+    if drow["d"] is None:   # no valid vectors: empty result, right schema
+        return v.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(0).cast("long").alias("adc_dist"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    ds = int(drow["d"]) // m_sub
+    cell_cents = kmeans_train_centroids(v, n_cells, iters)
+    pq_cents = pq_train_codebooks(v, m_sub, ds, k_codes, iters)
+    bests = [
+        _pq_best(F.slice("qv", m * ds + 1, ds), pq_cents[m], with_cent=True)
+        for m in range(m_sub)
+    ]
+    recon = F.concat(*[b["cent"] for b in bests])
+    base = _kmeans_assign(v, cell_cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").alias("cell"),
+        recon.alias("_recon"),
+    )
+    vq = valid_embeddings(queries, emb_col).select(
+        F.col(id_col).alias("vec_id"), _quantize(emb_col).alias("qv"))
+    q = _kmeans_assign(vq, cell_cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster").alias("_qcell"),
+        F.col("qv").alias("_qqv"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("_qcell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    dist = F.aggregate(
+        F.zip_with("_recon", "_qqv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                          F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", "cell",
+                     dist.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "adc_dist", "rank")
     )

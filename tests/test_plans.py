@@ -232,3 +232,14 @@ def test_pq_adc_scan_is_broadcast_map_only(spark):
     plan = _plan(ann_pq_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivfpq_scan_joins_on_cell_no_smj(spark):
+    """The IVF-PQ candidate scan is a cell-keyed equi-join against the
+    broadcast query set (the prune that makes a 100 TB codes table
+    partition-prunable by cell) -- never a sort-merge join."""
+    from languagedetection_spark.entry_queries import ann_ivfpq_topk
+
+    plan = _plan(ann_ivfpq_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

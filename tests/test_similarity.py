@@ -271,3 +271,30 @@ def test_pq_shortlist_recall_vs_exact(clustered_df):
         short.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hit = sum(exact1[q] in short.get(q, set()) for q in exact1)
     assert hit / len(exact1) >= 0.9, f"shortlist recall {hit}/{len(exact1)}"
+
+
+def test_ivfpq_prunes_to_cell_and_respects_clusters(clustered_df):
+    """The IVF-PQ composite must (a) only pair a query with SAME-CELL
+    neighbors -- the prune is the whole point -- and (b) keep the top-1
+    neighbor inside the query's planted cluster, like plain PQ."""
+    from languagedetection_spark.operators.similarity import (
+        ivfpq_topk_df, kmeans_train_centroids, _kmeans_assign, _quantize,
+        valid_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    df, C, X = clustered_df
+    queries = df.filter("vec_id < 40")
+    out = ivfpq_topk_df(df, queries, k=3).collect()
+    v = valid_embeddings(df, "embedding").select(
+        "vec_id", _quantize("embedding").alias("qv"))
+    cents = kmeans_train_centroids(v, 4, 1)
+    cell = {r["vec_id"]: r["cluster"]
+            for r in _kmeans_assign(v, cents).collect()}
+    assert out, "no pairs"
+    for r in out:
+        assert cell[r["query_id"]] == cell[r["neighbor_id"]] == r["cell"]
+    true_cells = np.repeat(np.arange(10), 30)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    agree = sum(true_cells[q] == true_cells[n] for q, n in top1.items())
+    assert agree / len(top1) >= 0.9, f"cluster agreement {agree}/{len(top1)}"
