@@ -2126,6 +2126,64 @@ HAVING count(*) >= 2
 """
 
 
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/dedup.py::
+    bloom_decontaminate_df): the benchmark's shingles fold into a 4096-bit
+    filter (3 md5-derived positions each) that ships as ONE literal mask,
+    and the corpus side probes it map-only -- the constant-size-broadcast
+    twin of `decontaminate`, no false negatives by construction.  Same
+    benchmark slice as `decontaminate` so the two flag sets are directly
+    comparable."""
+    from .operators.dedup import bloom_decontaminate_df
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter("doc_id % 97 = 0").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 5, 20), " ").alias("text"),
+    )
+    return bloom_decontaminate_df(d, bench, min_overlap=2)
+
+
+BLOOM_DECONTAMINATE_SQL = f"""
+WITH corpus_sh AS (
+{_shingles_sql_from('documents')}
+),
+bench AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 5, 24), ' ')
+               AS text
+    FROM documents WHERE doc_id % 97 = 0
+),
+bench_sh AS (
+    SELECT DISTINCT shingle FROM (
+{_shingles_sql_from('bench')}
+    )
+),
+hashes AS (SELECT unnest(generate_series(0, 2)) AS i),
+bits AS (  -- the Bloom filter: distinct set positions, <= 4096 rows
+    SELECT DISTINCT
+           ('0x' || substr(md5(h.i::VARCHAR || ':' || b.shingle), 1, 8))
+               ::BIGINT % 4096 AS pos
+    FROM bench_sh b, hashes h
+),
+cpos AS (
+    SELECT s.doc_id, s.shingle,
+           ('0x' || substr(md5(h.i::VARCHAR || ':' || s.shingle), 1, 8))
+               ::BIGINT % 4096 AS pos
+    FROM corpus_sh s, hashes h
+),
+shit AS (  -- a shingle hits iff ALL 3 of its positions are set
+    SELECT doc_id, shingle,
+           count(*) FILTER (WHERE pos IN (SELECT pos FROM bits)) AS nset
+    FROM cpos GROUP BY doc_id, shingle
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE nset = 3) AS BIGINT) AS n_hit
+FROM shit GROUP BY doc_id
+HAVING count(*) FILTER (WHERE nset = 3) >= 2
+"""
+
+
 def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_bucketed_topk_df
 
@@ -4015,6 +4073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_pairs": semdedup_pairs,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "bloom_decontaminate": bloom_decontaminate,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4145,6 +4204,7 @@ ORACLE_SQL: dict[str, str] = {
     "semdedup_pairs": SEMDEDUP_PAIRS_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
+    "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

@@ -420,6 +420,69 @@ def contamination_overlap_df(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def _bloom_pos(shingle_col, i: int, m_bits: int):
+    """Bit position i for a shingle: md5 of 'i:shingle' -> first 8 hex
+    chars -> integer mod m_bits.  The exact engine-portable bucket recipe
+    the hashed-ngram langid and DSIR features use, so DuckDB reproduces
+    every position ('0x' || substr(md5(..), 1, 8))::BIGINT % m."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), shingle_col)), 1, 8),
+            16, 10,
+        ).cast("long") % m_bits
+    )
+
+
+def bloom_decontaminate_df(docs: DataFrame, benchmark: DataFrame,
+                           min_overlap: int = 2, m_bits: int = 4096,
+                           k_hashes: int = 3) -> DataFrame:
+    """Bloom-filter decontamination: the CONSTANT-SIZE alternative to
+    broadcasting every benchmark shingle (contamination_overlap_df).  The
+    benchmark's 3-gram shingles are folded into an m_bits-bit Bloom filter
+    (k_hashes md5-derived positions each); a corpus shingle counts as
+    contaminated iff ALL k of its bits are set.  Supersets the exact
+    n-gram overlap by construction (a Bloom filter has NO false
+    negatives); false positives are the documented price, rate ~
+    (1 - e^(-k*S/m))^k for S benchmark shingles.
+
+    Scale shape: the filter is a driver-built m_bits-char literal mask
+    (model-sized REGARDLESS of corpus or benchmark size -- a 4 KB
+    constant vs a possibly-GB shingle broadcast) and the corpus side is
+    a pure MAP: shingle -> k substring probes into the compiled-literal
+    mask, no join at all on the hot path; per-doc aggregation is a
+    map-side-combined groupBy on doc_id.  No stop-shingle guard is
+    needed because nothing fans out -- each corpus shingle does O(k)
+    work whatever its frequency.  Returns (doc_id, n_shingles, n_hit)
+    for docs with n_hit >= min_overlap."""
+    bench_sh = shingle_df(benchmark).select("shingle").distinct()
+    pos_rows = bench_sh.select(
+        F.explode(F.array(*[
+            _bloom_pos(F.col("shingle"), i, m_bits)
+            for i in range(k_hashes)
+        ])).alias("pos")
+    ).distinct().collect()          # <= m_bits rows: model-sized collect
+    mask = ["0"] * m_bits
+    for r in pos_rows:
+        mask[int(r["pos"])] = "1"
+    mask_lit = F.lit("".join(mask))
+    sh = shingle_df(docs)
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        hit = hit & (
+            F.substring(mask_lit, (_bloom_pos(F.col("shingle"), i, m_bits)
+                                   + 1).cast("int"), 1) == "1"
+        )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(hit.cast("long")).alias("n_hit"),
+        )
+        .filter(F.col("n_hit") >= min_overlap)
+    )
+
+
 def dedup_components_df(nodes: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
                         max_iter: int = 25) -> DataFrame:

@@ -259,3 +259,31 @@ def test_keep_best_prefers_longest_not_min_id(spark, tmp_path):
     assert rows[13]["keep"] is True      # longest wins ...
     assert rows[3]["keep"] is False      # ... not the min id
     assert rows[100]["keep"] is True     # singletons keep themselves
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom filter's defining guarantee: every doc the EXACT n-gram
+    overlap flags (unguarded, same benchmark) is also flagged by the
+    Bloom probe, with per-doc hit count >= the exact overlap count.
+    False positives are allowed (and counted) -- false negatives never."""
+    from pyspark.sql import functions as F
+
+    from languagedetection_spark.operators.dedup import (
+        bloom_decontaminate_df, contamination_overlap_df,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter("doc_id % 97 = 0").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 5, 20), " ").alias("text"),
+    )
+    exact = {r["doc_id"]: r["n_overlap"]
+             for r in contamination_overlap_df(
+                 d, bench, min_overlap=2, max_shingle_freq=None).collect()}
+    bloom = {r["doc_id"]: r["n_hit"]
+             for r in bloom_decontaminate_df(
+                 d, bench, min_overlap=2).collect()}
+    missing = [i for i in exact if i not in bloom]
+    assert not missing, f"false negatives: {missing}"
+    low = [i for i in exact if bloom[i] < exact[i]]
+    assert not low, f"bloom hit count below exact overlap: {low}"

@@ -90,7 +90,8 @@ EDGE_SAFE_QUERIES = (
     "conv_quality_report", "word_cumsum", "doc_token_stats",
     "doc_quality_score", "bpe_token_count", "holdout_split", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_components", "decontaminate", "sample_stratified",
+    "dedup_components", "decontaminate", "bloom_decontaminate",
+    "sample_stratified",
     "streaming_dedup",
     "tfidf_top_terms", "doc_char_entropy", "inverted_index",
     "normalize_text", "collocations_lift", "substring_dup_pairs",

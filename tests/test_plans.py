@@ -243,3 +243,14 @@ def test_ivfpq_scan_joins_on_cell_no_smj(spark):
     plan = _plan(ann_ivfpq_topk(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_decontaminate_probe_is_joinless(spark):
+    """The Bloom probe replaces the benchmark-shingle join with k
+    substring lookups into a compiled literal mask: the corpus-side plan
+    must contain NO join operator of any kind -- only the shingle
+    distinct and the per-doc aggregation shuffle."""
+    from languagedetection_spark.entry_queries import bloom_decontaminate
+
+    plan = _plan(bloom_decontaminate(spark, SF))
+    assert "Join" not in plan, plan
