@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "bloom_decontaminate",
+    "bpe_merges",
 ]  # streaming_join_attrib excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

@@ -2126,6 +2126,80 @@ HAVING count(*) >= 2
 """
 
 
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/textstats.py::
+    bpe_merge_rounds_df): the first two byte-pair merges learned from
+    the corpus, reporting each round's top-5 frequency-weighted adjacent
+    pairs.  Merge application is greedy leftmost (run-parity window
+    algebra, no sequential scan), winners are selected in-query with a
+    pinned tie-break, and every count is an exact integer -- so the
+    oracle unrolls both rounds relationally."""
+    from .operators.textstats import bpe_merge_rounds_df
+
+    return bpe_merge_rounds_df(
+        _t(spark, sf_dir, "documents"), rounds=2, top=5
+    )
+
+
+BPE_MERGES_SQL = """
+WITH words AS (
+    SELECT t.w, count(*) AS freq
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) t
+    WHERE t.w <> ''
+    GROUP BY t.w
+),
+t1 AS (
+    SELECT w, freq, i.i - 1 AS i, substr(w, i.i, 1) AS tok
+    FROM words, LATERAL (
+        SELECT unnest(generate_series(1, length(w))) AS i
+    ) i
+),
+pr1 AS (SELECT w, freq, i, tok,
+               lead(tok) OVER (PARTITION BY w ORDER BY i) AS nxt FROM t1),
+pc1 AS (SELECT tok AS l, nxt AS r, sum(freq) AS pair_count
+        FROM pr1 WHERE nxt IS NOT NULL GROUP BY tok, nxt),
+rk1 AS (SELECT l, r, pair_count,
+               row_number() OVER (ORDER BY pair_count DESC, l, r) AS rnk
+        FROM pc1),
+win1 AS (SELECT l, r FROM rk1 WHERE rnk = 1),
+c1 AS (  -- candidates of the winning pair; NULL-next never matches
+    SELECT p.w, p.freq, p.i, p.tok, p.nxt,
+           coalesce(p.tok = win1.l AND p.nxt = win1.r, false) AS cand
+    FROM pr1 p, win1
+),
+g1 AS (  -- consecutive candidates (only possible when l = r) share grpid
+    SELECT *, sum(CASE WHEN cand THEN 0 ELSE 1 END)
+              OVER (PARTITION BY w ORDER BY i) AS grpid FROM c1),
+r1 AS (SELECT *, sum(CASE WHEN cand THEN 1 ELSE 0 END)
+              OVER (PARTITION BY w, grpid ORDER BY i) AS rn FROM g1),
+k1 AS (  -- greedy leftmost = odd rank within the candidate run
+    SELECT *, cand AND (rn - 1) % 2 = 0 AS keep FROM r1),
+f1 AS (SELECT *, coalesce(lag(keep) OVER (PARTITION BY w ORDER BY i),
+                          false) AS consumed FROM k1),
+t2 AS (
+    SELECT w, freq,
+           row_number() OVER (PARTITION BY w ORDER BY i) - 1 AS i,
+           CASE WHEN keep THEN tok || nxt ELSE tok END AS tok
+    FROM f1 WHERE keep OR NOT consumed
+),
+pr2 AS (SELECT w, freq, i, tok,
+               lead(tok) OVER (PARTITION BY w ORDER BY i) AS nxt FROM t2),
+pc2 AS (SELECT tok AS l, nxt AS r, sum(freq) AS pair_count
+        FROM pr2 WHERE nxt IS NOT NULL GROUP BY tok, nxt),
+rk2 AS (SELECT l, r, pair_count,
+               row_number() OVER (ORDER BY pair_count DESC, l, r) AS rnk
+        FROM pc2)
+SELECT CAST(1 AS INT) AS round, l, r,
+       CAST(pair_count AS BIGINT) AS pair_count, CAST(rnk AS BIGINT) AS rnk
+FROM rk1 WHERE rnk <= 5
+UNION ALL
+SELECT CAST(2 AS INT) AS round, l, r,
+       CAST(pair_count AS BIGINT) AS pair_count, CAST(rnk AS BIGINT) AS rnk
+FROM rk2 WHERE rnk <= 5
+"""
+
+
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/dedup.py::
     bloom_decontaminate_df): the benchmark's shingles fold into a 4096-bit
@@ -4074,6 +4148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "bloom_decontaminate": bloom_decontaminate,
+    "bpe_merges": bpe_merges,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4205,6 +4280,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_pq_topk": ANN_PQ_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
+    "bpe_merges": BPE_MERGES_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

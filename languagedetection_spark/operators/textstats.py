@@ -172,3 +172,103 @@ def normalize_text_df(docs: DataFrame, id_col: str = "doc_id",
     return docs.mapInPandas(
         run, schema="doc_id long, norm_text string, changed boolean"
     )
+
+
+def _bpe_apply_merge(toks: DataFrame, winner: DataFrame) -> DataFrame:
+    """Apply ONE BPE merge relationally: greedy leftmost non-overlapping
+    replacement of the winning adjacent pair within every word.
+
+    Only identical-symbol pairs (l == r) can produce overlapping
+    candidates (runs like 'aaaa'); greedy-leftmost there means keeping
+    every SECOND candidate of each consecutive-candidate run.  That rule
+    is pure window algebra: runs share a group id (non-candidates bump a
+    cumulative counter), and a candidate merges iff its rank within the
+    run is odd.  toks = (w, freq, i, tok); winner = one row (l, r)."""
+    wn = W.partitionBy("w").orderBy("i")
+    t = (
+        toks.crossJoin(F.broadcast(winner))
+        .withColumn("nxt", F.lead("tok").over(wn))
+        .withColumn(
+            "cand",
+            F.coalesce(
+                (F.col("tok") == F.col("l")) & (F.col("nxt") == F.col("r")),
+                F.lit(False),
+            ),
+        )
+    )
+    t = t.withColumn(
+        "grpid",
+        F.sum(F.when(F.col("cand"), 0).otherwise(1)).over(
+            wn.rowsBetween(W.unboundedPreceding, 0)),
+    ).withColumn(
+        "rn",
+        F.sum(F.col("cand").cast("int")).over(
+            W.partitionBy("w", "grpid").orderBy("i")
+            .rowsBetween(W.unboundedPreceding, 0)),
+    )
+    t = t.withColumn(
+        "keep", F.col("cand") & ((F.col("rn") - 1) % 2 == 0)
+    ).withColumn(
+        "consumed", F.coalesce(F.lag("keep").over(wn), F.lit(False))
+    )
+    return (
+        t.filter(F.col("keep") | ~F.col("consumed"))
+        .select(
+            "w", "freq",
+            (F.row_number().over(wn) - 1).alias("i"),
+            F.when(F.col("keep"), F.concat("tok", "nxt"))
+            .otherwise(F.col("tok")).alias("tok"),
+        )
+    )
+
+
+def bpe_merge_rounds_df(docs: DataFrame, rounds: int = 2, top: int = 5,
+                        text_col: str = "text") -> DataFrame:
+    """BPE merge induction (Sennrich, Haddow & Birch 2016): learn the
+    first *rounds* byte-pair merges from the corpus and report each
+    round's top-*top* adjacent-pair frequencies -- tokenizer TRAINING as
+    a relational contract operator.  Each round counts frequency-weighted
+    adjacent symbol pairs over the word vocabulary, merges the most
+    frequent pair (ties: count desc, left asc, right asc), and re-segments
+    greedily leftmost.  All counts are exact integers and the winner is
+    selected in-query, so a SQL unroll reproduces every round.
+
+    Scale shape: the ONLY corpus-wide work is the initial word count
+    (map-side-combined groupBy); every round after that operates on the
+    DISTINCT-WORD table (vocab-sized, Zipf-bounded) with vocab-keyed
+    windows -- the classical reason BPE learns from a word-frequency
+    dict, not raw text.  At production vocab sizes the per-round winner
+    is a 1-row broadcast; *rounds* chains plan stages linearly."""
+    words = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    toks = words.select(
+        "w", "freq",
+        F.posexplode(F.filter(F.split("w", ""), lambda c: c != ""))
+        .alias("i", "tok"),
+    )
+    wn = W.partitionBy("w").orderBy("i")
+    outs = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            toks.withColumn("nxt", F.lead("tok").over(wn))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        wr = W.orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+        ranked = pairs.withColumn(
+            "rnk", F.row_number().over(wr).cast("long"))
+        outs.append(
+            ranked.filter(F.col("rnk") <= top).select(
+                F.lit(rnd).alias("round"), "l", "r", "pair_count", "rnk")
+        )
+        if rnd < rounds:
+            winner = ranked.filter("rnk = 1").select("l", "r")
+            toks = _bpe_apply_merge(toks, winner)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -90,7 +90,7 @@ EDGE_SAFE_QUERIES = (
     "conv_quality_report", "word_cumsum", "doc_token_stats",
     "doc_quality_score", "bpe_token_count", "holdout_split", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_components", "decontaminate", "bloom_decontaminate",
+    "dedup_components", "decontaminate", "bloom_decontaminate", "bpe_merges",
     "sample_stratified",
     "streaming_dedup",
     "tfidf_top_terms", "doc_char_entropy", "inverted_index",
