@@ -1,3 +1,5 @@
+"""Text-analysis operator unit tests (beyond the oracle contract):
+algorithmic invariants the SQL side-by-side cannot express alone."""
 
 
 def test_bpe_greedy_run_semantics(spark):
