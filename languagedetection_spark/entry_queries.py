@@ -3899,6 +3899,61 @@ SELECT DISTINCT md5(text) AS text_hash FROM documents
 """
 
 
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join in the contract -- the last
+    streaming join class (beside the windowed agg, stateful dedup,
+    watermark late-drop, and stream-stream interval join): the events
+    stream joins a static broadcast customer dimension per micro-batch
+    (the canonical enrich-on-ingest shape; the dim is re-broadcast per
+    batch, state-free), then aggregates per (segment, event_type) in
+    complete mode.  Emitted result must equal the batch join+GROUP BY,
+    which is the oracle."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ld_stream_enrich_{_src_cache_key(sf_dir, 'events')}",
+    )
+    if not os.path.exists(src):
+        e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"stream_enrich_{abs(hash(sf_dir)) % 99999}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE — the full grouping-sets lattice (rollup_revenue covers the
     prefix lattice; CUBE adds the (NULL, linestatus) cells)."""
@@ -4149,6 +4204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "bloom_decontaminate": bloom_decontaminate,
     "bpe_merges": bpe_merges,
+    "streaming_enrich": streaming_enrich,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4281,6 +4337,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
     "bpe_merges": BPE_MERGES_SQL,
+    "streaming_enrich": STREAMING_ENRICH_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,

@@ -403,7 +403,21 @@ def kmeans_train_centroids(v: DataFrame, k: int,
     """The Lloyd training loop of quantized_kmeans_df, factored so the
     IVF-PQ composite can assign NEW vectors (queries) with the same
     trained coarse centroids.  v = (vec_id, qv); same exact-integer
-    arithmetic and strided-rank seeding as the contract operator."""
+    arithmetic and strided-rank seeding as the contract operator.
+
+    v is persisted for the duration of training (count + seed rank +
+    one assignment aggregate per round all re-traverse it) and released
+    before returning; caching never changes results, only avoids
+    re-scanning/re-quantizing the source per pass."""
+    v = v.persist()
+    try:
+        return _kmeans_train_inner(v, k, iters)
+    finally:
+        v.unpersist(blocking=False)
+
+
+def _kmeans_train_inner(v: DataFrame, k: int,
+                        iters: int) -> list[tuple[int, list[int]]]:
     n = v.count()
     stride = max(n // k, 1)
     wn = W.orderBy("vec_id")
@@ -516,7 +530,18 @@ def pq_train_codebooks(v: DataFrame, m_sub: int, ds: int,
 
     Scale shape: assignment is map-only (literal codewords); the update
     aggregate is bounded by m_sub*k_codes*ds groups (map-side combined);
-    per-round collects are model-sized, never corpus-proportional."""
+    per-round collects are model-sized, never corpus-proportional.
+    v is persisted across the training passes (see
+    kmeans_train_centroids) and released before returning."""
+    v = v.persist()
+    try:
+        return _pq_train_inner(v, m_sub, ds, k_codes, iters)
+    finally:
+        v.unpersist(blocking=False)
+
+
+def _pq_train_inner(v: DataFrame, m_sub: int, ds: int,
+                    k_codes: int, iters: int):
     n = v.count()
     stride = max(n // k_codes, 1)
     wn = W.orderBy("vec_id")
