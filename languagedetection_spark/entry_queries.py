@@ -1847,6 +1847,222 @@ WHERE n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
 )
 
 
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs over the near-dup corpus: the
+    planted copies are 40-token PREFIXES of their originals, so their
+    symmetric Jaccard is diluted (~0.2 on long docs) while containment of
+    the copy in the original is exactly 1.0 — the operator Jaccard dedup
+    structurally misses.  Candidates reuse the guarded shingle equi-join
+    (operators/dedup.py::containment_pairs_df)."""
+    from .operators.dedup import containment_pairs_df
+
+    return containment_pairs_df(_neardup_corpus(spark, sf_dir), 0.9)
+
+
+CONTAINMENT_PAIRS_SQL = (
+    _NEARDUP_SQL_CTE
+    + """
+, stopfree AS (  -- candidate-side stop-shingle guard (cap 128)
+    SELECT doc_id, shingle FROM shingles
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= 128
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM stopfree a JOIN stopfree b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       round(n_inter / CAST(za.n_sh AS DOUBLE), 4) AS cont_a,
+       round(n_inter / CAST(zb.n_sh AS DOUBLE), 4) AS cont_b
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE greatest(n_inter / CAST(za.n_sh AS DOUBLE),
+               n_inter / CAST(zb.n_sh AS DOUBLE)) >= 0.9
+"""
+)
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level exact dedup with document reassembly
+    (Wenzek et al. 2020 deduplicate by PARAGRAPH, not whole doc): the
+    corpus is segmented deterministically (fixed 16-token windows stand in
+    for the newline splitter — the synthetic text has no line structure),
+    every segment's corpus-wide FIRST occurrence (min (doc_id, seg_no))
+    survives, later occurrences are dropped, and each doc reports its
+    surviving text.  Catches boilerplate repeated ACROSS documents that
+    whole-doc dedup never pairs up.
+
+    Scale shape: one hash shuffle on the segment text serves both the
+    keeper election and the membership probe (at 100 TB you'd key the
+    exchange on xxhash64(seg) to cut shuffle bytes — same plan, smaller
+    rows); reassembly groups each doc's own segments only, so no stage is
+    quadratic and no driver state exists."""
+    seg_len = 16
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size(toks)
+    # n >= 1 guards the index sequence (sequence(0, -1) would DESCEND on
+    # Spark where the oracle's generate_series is empty — CLAUDE.md);
+    # 0-token docs re-enter via the left join below
+    segs = (
+        d.filter(n >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor((n - 1) / seg_len).cast("int")
+                    ),
+                    lambda s: F.struct(
+                        s.alias("seg_no"),
+                        F.array_join(
+                            F.slice(toks, s * seg_len + 1, seg_len), " "
+                        ).alias("seg"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.seg_no", "x.seg")
+    )
+    keep = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_no")).alias("k")
+    )
+    marked = segs.join(keep, "seg").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("k.doc_id"))
+        & (F.col("seg_no") == F.col("k.seg_no")),
+    )
+    per = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).alias("kept_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("seg_no", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("kept_segs", F.lit(0)).cast("long")
+            .alias("kept_segs"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+SEGMENT_DEDUP_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+    FROM documents
+),
+segs AS (
+    SELECT doc_id, s.s AS seg_no,
+           array_to_string(
+               list_slice(ts, s.s * 16 + 1, s.s * 16 + 16), ' ') AS seg
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(
+            0, CAST(floor((len(ts) - 1) / 16.0) AS INT))) AS s
+    ) s
+    WHERE len(ts) >= 1
+),
+marked AS (
+    SELECT doc_id, seg_no, seg,
+           row_number() OVER (PARTITION BY seg
+                              ORDER BY doc_id, seg_no) = 1 AS kept
+    FROM segs
+),
+per AS (
+    SELECT doc_id, count(*) AS n_segs,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_segs,
+           coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
+                               ORDER BY seg_no), '') AS dedup_text
+    FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(coalesce(per.kept_segs, 0) AS BIGINT) AS kept_segs,
+       coalesce(per.dedup_text, '') AS dedup_text
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding-style sliding-window chunking: each doc splits into
+    32-token windows at stride 24 (8-token overlap keeps context across
+    boundaries).  A doc with n <= 32 tokens is one chunk; otherwise
+    ceil((n - 32) / 24) + 1 chunks, the last one short.  Complements
+    sequence_packing (which chunks the CONCATENATED corpus stream for
+    training; this chunks per-doc for retrieval).
+
+    Scale shape: pure map-side explode — no shuffle at all; output rows
+    ~n/24 per doc."""
+    win, stride = 32, 24
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= win, F.lit(1))
+        .otherwise(F.floor((n - win + (stride - 1)) / stride) + 1)
+        .cast("int")
+    )
+    ex = d.filter(n >= 1).select(
+        "doc_id",
+        toks.alias("ts"),
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("cid"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("cid").cast("long").alias("chunk_id"),
+        (F.col("cid") * stride).cast("long").alias("start_tok"),
+        F.least(F.lit(win), F.col("n_tokens") - F.col("cid") * stride)
+        .cast("long").alias("chunk_len"),
+        F.array_join(
+            F.slice("ts", F.col("cid") * stride + 1, win), " "
+        ).alias("chunk_text"),
+    )
+
+
+DOC_CHUNKS_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+    FROM documents
+),
+base AS (
+    SELECT doc_id, ts, len(ts) AS n,
+           CASE WHEN len(ts) <= 32 THEN 1
+                ELSE CAST(floor((len(ts) - 32 + 23) / 24.0) AS INT) + 1
+           END AS nch
+    FROM toks WHERE len(ts) >= 1
+)
+SELECT doc_id,
+       CAST(c.c AS BIGINT) AS chunk_id,
+       CAST(c.c * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - c.c * 24) AS BIGINT) AS chunk_len,
+       array_to_string(
+           list_slice(ts, c.c * 24 + 1, c.c * 24 + 32), ' ') AS chunk_text
+FROM base, LATERAL (SELECT unnest(generate_series(0, nch - 1)) AS c) c
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_minhash_lsh_df
 
@@ -4205,6 +4421,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate": bloom_decontaminate,
     "bpe_merges": bpe_merges,
     "streaming_enrich": streaming_enrich,
+    "containment_pairs": containment_pairs,
+    "segment_dedup": segment_dedup,
+    "doc_chunks": doc_chunks,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4233,11 +4452,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_keep": pipeline_keep,
     "conv_quality_report": conv_quality_report,
     "ann_ivf_topk": ann_ivf_topk,
+    # --- long-stable entries rotated past the driver's 50-entry window
+    #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
     "ann_sq_topk": ann_sq_topk,
     "axiom_distribution": axiom_distribution,
     "streaming_dedup": streaming_dedup,
-    # --- long-stable entries rotated past the driver's 50-entry window
-    #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
     "confusion_matrix": confusion_matrix,
     "approx_aggregates": approx_aggregates,
     "streaming_hourly": streaming_hourly,
@@ -4342,4 +4561,7 @@ ORACLE_SQL: dict[str, str] = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "mixture_rates": MIXTURE_RATES_SQL,
     "streaming_join_attrib": STREAMING_JOIN_SQL,
+    "containment_pairs": CONTAINMENT_PAIRS_SQL,
+    "segment_dedup": SEGMENT_DEDUP_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
 }

@@ -138,6 +138,66 @@ def dedup_ngram_jaccard_df(docs: DataFrame, threshold: float = 0.5,
     return _verify_jaccard(pairs, sh, threshold)
 
 
+def containment_pairs_df(docs: DataFrame, threshold: float = 0.9,
+                         max_shingle_freq: int | None =
+                         MAX_SHINGLE_FREQ_DEFAULT) -> DataFrame:
+    """Asymmetric set-containment near-dup pairs (Broder 1997): for each
+    candidate pair, c(A,B) = |A ∩ B| / |A| and c(B,A) = |A ∩ B| / |B| over
+    distinct word-3-gram shingles; a pair qualifies when EITHER direction
+    reaches *threshold*.  This is the detector for truncated or quoted
+    copies: a 40-token prefix of a 200-token doc has containment 1.0 while
+    its symmetric Jaccard is ~0.2 — whole-doc Jaccard dedup misses it by
+    design.
+
+    Scale shape is the guarded-Jaccard one: candidates come from the
+    stop-shingle-guarded equi-join (never all-pairs), verification is
+    candidate-bounded, per-doc sizes broadcast."""
+    sh = shingle_df(docs)
+    cand_src = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+        cand_src = sh.join(
+            F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
+            "shingle",
+        ).select("doc_id", "shingle")
+    a = cand_src.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingle").alias("sh"))
+    b = cand_src.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingle").alias("sh"))
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    av = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingle").alias("sh"))
+    bv = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingle").alias("sh"))
+    inter = (
+        pairs.join(av, "doc_a").join(bv, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    ca = F.col("n_inter") / F.col("na")
+    cb = F.col("n_inter") / F.col("nb")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            F.round(ca, 4).alias("cont_a"),
+            F.round(cb, 4).alias("cont_b"),
+        )
+    )
+
+
 # one-md5-per-shingle universal-hash family: base hash m(shingle) is the
 # LOWER 64 bits of md5 (little-endian digest bytes 8..15 -- exactly DuckDB's
 # md5_number_lower, so the oracle reproduces every value), then k affine

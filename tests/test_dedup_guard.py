@@ -261,6 +261,71 @@ def test_keep_best_prefers_longest_not_min_id(spark, tmp_path):
     assert rows[100]["keep"] is True     # singletons keep themselves
 
 
+def test_containment_catches_truncations_jaccard_misses(spark):
+    """containment_pairs' raison d'etre: the near-dup corpus plants
+    40-token PREFIX copies, so the copy's shingle set is a subset of the
+    original's -- containment is exactly 1.0 for every planted pair, while
+    symmetric Jaccard at the same 0.9 bar misses the pairs whose original
+    is much longer than 40 tokens."""
+    from languagedetection_spark.entry_queries import (
+        _neardup_corpus,
+        containment_pairs,
+    )
+    from languagedetection_spark.operators.dedup import dedup_ngram_jaccard_df
+
+    sf = "/root/testdata/sf0.001"
+    out = containment_pairs(spark, sf).collect()
+    planted = {(r["doc_a"], r["doc_b"]): r for r in out
+               if r["doc_b"] - r["doc_a"] == 1000000}
+    corpus = _neardup_corpus(spark, sf)
+    n_copies = corpus.filter("doc_id >= 1000000").count()
+    assert len(planted) == n_copies
+    for r in planted.values():
+        assert max(r["cont_a"], r["cont_b"]) == 1.0
+    jacc = dedup_ngram_jaccard_df(corpus, threshold=0.9).collect()
+    jacc_planted = {(r["doc_a"], r["doc_b"]) for r in jacc
+                    if r["doc_b"] - r["doc_a"] == 1000000}
+    assert len(jacc_planted) < n_copies, (
+        "fixture drift: Jaccard@0.9 now catches every planted truncation, "
+        "so the containment query no longer demonstrates its advantage"
+    )
+
+
+def test_segment_dedup_drops_cross_doc_repeats(spark, tmp_path):
+    """A 16-token segment repeated across docs survives only at its first
+    (doc_id, seg_no) occurrence; reassembly keeps surviving segments in
+    order; 0-token docs pass through with empty dedup_text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from languagedetection_spark.entry_queries import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(16))
+    seg_b = " ".join(f"b{i}" for i in range(16))
+    seg_c = " ".join(f"c{i}" for i in range(16))
+    tail = "t0 t1 t2 t3"  # a short trailing segment
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [seg_a + " " + seg_b,   # both kept (first occurrences)
+                 seg_a + " " + seg_c,   # seg_a dropped, seg_c kept
+                 "",                    # 0 tokens
+                 seg_b + " " + tail],   # seg_b dropped, short tail kept
+        "lang": ["en"] * 4,
+        "source": ["src0"] * 4,
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            segment_dedup(spark, str(tmp_path)).collect()}
+    assert rows[1]["dedup_text"] == seg_a + " " + seg_b
+    assert (rows[1]["n_segs"], rows[1]["kept_segs"]) == (2, 2)
+    assert rows[2]["dedup_text"] == seg_c
+    assert (rows[2]["n_segs"], rows[2]["kept_segs"]) == (2, 1)
+    assert (rows[3]["n_segs"], rows[3]["kept_segs"]) == (0, 0)
+    assert rows[3]["dedup_text"] == ""
+    assert rows[4]["dedup_text"] == tail
+    assert (rows[4]["n_segs"], rows[4]["kept_segs"]) == (2, 1)
+
+
 def test_bloom_decontaminate_no_false_negatives(spark):
     """The Bloom filter's defining guarantee: every doc the EXACT n-gram
     overlap flags (unguarded, same benchmark) is also flagged by the

@@ -98,6 +98,7 @@ EDGE_SAFE_QUERIES = (
     "word_freq_spectrum", "sequence_packing", "mixture_rates",
     "doc_repetition", "lm_perplexity", "dedup_keep_best",
     "importance_weights",
+    "containment_pairs", "segment_dedup", "doc_chunks",
 )
 
 

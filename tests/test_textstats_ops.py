@@ -23,3 +23,40 @@ def test_bpe_greedy_run_semantics(spark):
     assert out[(2, "aa", "aa")] == 2
     assert out[(2, "aa", "a")] == 1
     assert (2, "a", "a") not in out
+
+
+def test_doc_chunks_coverage_and_overlap(spark, tmp_path):
+    """Sliding-window chunking invariants: chunks start every 24 tokens,
+    overlap 8, the last chunk reaches the end of the doc exactly, and a
+    short doc is one whole chunk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from languagedetection_spark.entry_queries import doc_chunks
+
+    long = " ".join(f"w{i}" for i in range(80))
+    short = "a b c"
+    exact = " ".join(f"v{i}" for i in range(32))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [long, short, exact],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = [r.asDict() for r in
+            doc_chunks(spark, str(tmp_path)).collect()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["chunk_len"]) for r in c1] == [
+        (0, 32), (24, 32), (48, 32)]
+    # overlap: chunk 1 repeats chunk 0's last 8 tokens
+    assert c1[0]["chunk_text"].split()[-8:] == \
+        c1[1]["chunk_text"].split()[:8]
+    # the final chunk ends exactly at the doc end
+    assert c1[-1]["start_tok"] + c1[-1]["chunk_len"] == 80
+    assert c1[-1]["chunk_text"].split()[-1] == "w79"
+    assert [(r["start_tok"], r["chunk_len"]) for r in by_doc[2]] == [(0, 3)]
+    assert [(r["start_tok"], r["chunk_len"]) for r in by_doc[3]] == [(0, 32)]
