@@ -3629,7 +3629,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_df(e, e.filter("vec_id < 20"), k=3)
 
 
-ANN_PQ_SQL = f"""
+# shared CTE chain: PQ training + encoding + ADC scan up through `pairs`
+# (used by both the plain PQ top-k oracle and the re-ranked variant)
+_ANN_PQ_CORE = f"""
 WITH valid AS (
     SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB_SQL}
 ),
@@ -3695,12 +3697,58 @@ pairs AS (
       ON r.sub = q.sub AND r.sd = q.sd AND r.vec_id <> q.query_id
     GROUP BY q.query_id, r.vec_id
 )
+"""
+
+ANN_PQ_SQL = _ANN_PQ_CORE + """
 SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
        CAST(rank AS BIGINT) AS rank
 FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY adc_dist, neighbor_id) AS rank
     FROM pairs
+) WHERE rank <= 3
+"""
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact re-rank (operators/similarity.py::
+    pq_rerank_topk_df): the ADC scan proposes 60 candidates per query
+    (12% of the sf0.001 corpus) from the 64x-compressed codes, then only
+    those fetch full vectors for an exact cosine top-3 — the standard
+    production refine stage that recovers the recall the lossy code
+    budget gives up.  On this fixture (random embeddings — the hard,
+    concentrated-cosine case) raw PQ exact-top-3 agreement is 0.017;
+    re-ranked is 0.433, pinned in tests/test_similarity.py.  The oracle
+    replays the whole training/encoding/ADC chain, takes the same
+    shortlist, and re-ranks with list_cosine_similarity."""
+    from .operators.similarity import pq_rerank_topk_df
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_rerank_topk_df(e, e.filter("vec_id < 20"), k=3, shortlist=60)
+
+
+ANN_PQ_RERANK_SQL = _ANN_PQ_CORE + """
+, short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rk
+        FROM pairs
+    ) WHERE rk <= 60
+),
+ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM valid),
+rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_cosine_similarity(eq.emb, en.emb) AS sim_raw
+    FROM short s
+    JOIN ed en ON en.vec_id = s.neighbor_id
+    JOIN ed eq ON eq.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, neighbor_id) AS rank
+    FROM rer
 ) WHERE rank <= 3
 """
 
@@ -4170,6 +4218,56 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows over a STREAM: the same session_window
+    aggregation as the batch `session_window_events`, driven through a
+    real multi-micro-batch streaming query (memory sink, complete mode).
+    Sessions that span micro-batch boundaries exercise the state store's
+    session-MERGE path — two open sessions whose gap closes when a later
+    batch bridges them must fuse into one row — and the result must equal
+    the batch computation, whose gaps-and-islands derivation is the
+    oracle (same inclusive exact-gap merge semantics)."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ld_stream_events_{_src_cache_key(sf_dir, 'events')}",
+    )
+    if not os.path.exists(src):
+        e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_session_{abs(hash(sf_dir)) % 99999}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE — the full grouping-sets lattice (rollup_revenue covers the
     prefix lattice; CUBE adds the (NULL, linestatus) cells)."""
@@ -4424,6 +4522,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": containment_pairs,
     "segment_dedup": segment_dedup,
     "doc_chunks": doc_chunks,
+    "ann_pq_rerank": ann_pq_rerank,
+    "streaming_session": streaming_session,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4439,6 +4539,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_scrub": pipeline_scrub,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    # --- long-stable entries rotated past the driver's 50-entry window
+    #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
     "dedup_simhash": dedup_simhash,
     "dedup_components": dedup_components,
     "sample_stratified": sample_stratified,
@@ -4452,8 +4554,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_keep": pipeline_keep,
     "conv_quality_report": conv_quality_report,
     "ann_ivf_topk": ann_ivf_topk,
-    # --- long-stable entries rotated past the driver's 50-entry window
-    #     (driver-green in r1+r2; still oracle-checked by the repo's tests) ---
     "ann_sq_topk": ann_sq_topk,
     "axiom_distribution": axiom_distribution,
     "streaming_dedup": streaming_dedup,
@@ -4564,4 +4664,6 @@ ORACLE_SQL: dict[str, str] = {
     "containment_pairs": CONTAINMENT_PAIRS_SQL,
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "ann_pq_rerank": ANN_PQ_RERANK_SQL,
+    "streaming_session": SESSION_WINDOW_SQL,
 }

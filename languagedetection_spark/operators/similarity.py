@@ -711,3 +711,56 @@ def ivfpq_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cell", "adc_dist", "rank")
     )
+
+
+def pq_rerank_topk_df(df: DataFrame, queries: DataFrame, k: int = 3,
+                      shortlist: int = 10, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
+    """PQ shortlist + exact-cosine re-rank — the 'refine' stage that makes
+    lossy PQ production-usable (Jegou et al. 2011, §V.D): the ADC scan
+    proposes `shortlist` candidates per query from the compressed codes,
+    then ONLY those candidates fetch their full vectors for an exact
+    cosine re-rank of the top k.
+
+    Scale shape: the full-precision vectors are touched for
+    |queries| x shortlist rows instead of the whole corpus — the scan
+    side stays 64x-compressed PQ codes; the candidate fetch is a
+    broadcast equi-join of the (tiny) shortlist against the embedding
+    table, and the re-rank window is shortlist-sized per query."""
+    short = pq_topk_df(df, queries, k=shortlist,
+                       id_col=id_col, emb_col=emb_col)
+    ve = valid_embeddings(df, emb_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(emb_col, lambda x: x.cast("double")).alias("emb"),
+    )
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    ve = ve.withColumn("nrm", nrm)
+    qe = valid_embeddings(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(emb_col, lambda x: x.cast("double")).alias("qemb"),
+    ).withColumn(
+        "qnrm",
+        F.sqrt(F.aggregate("qemb", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    nb = ve.select(F.col("vec_id").alias("neighbor_id"), "emb", "nrm")
+    joined = (
+        nb.join(F.broadcast(short.select("query_id", "neighbor_id")),
+                "neighbor_id")
+        .join(F.broadcast(qe), "query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "qemb", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim_raw"),
+                                          F.asc("neighbor_id"))
+    return (
+        joined.select(
+            "query_id", "neighbor_id",
+            (dot / (F.col("nrm") * F.col("qnrm"))).alias("sim_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sim_raw", 4).alias("sim"), "rank")
+    )

@@ -157,6 +157,7 @@ def test_oracle_edge_documents(name, spark, edge_docs_dir):
 EDGE_EMBEDDING_QUERIES = (
     "embedding_topk", "ann_bucketed_topk", "ann_multitable_topk",
     "ann_ivf_topk", "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_pq_rerank",
     "dedup_embedding_cosine",
     "label_centroids", "embedding_kmeans", "semdedup_pairs",
 )

@@ -254,3 +254,24 @@ def test_bloom_decontaminate_probe_is_joinless(spark):
 
     plan = _plan(bloom_decontaminate(spark, SF))
     assert "Join" not in plan, plan
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """Chunking is a pure map-side explode: scan -> filter -> generate --
+    zero exchanges at any corpus size."""
+    from languagedetection_spark.entry_queries import doc_chunks
+
+    plan = _plan(doc_chunks(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_segment_dedup_no_cross_joins(spark):
+    """Segment dedup shuffles on the segment text (keeper election +
+    membership probe) and on doc_id (reassembly) -- equi-joins only,
+    never a nested-loop/cartesian product."""
+    from languagedetection_spark.entry_queries import segment_dedup
+
+    plan = _plan(segment_dedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

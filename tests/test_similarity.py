@@ -298,3 +298,39 @@ def test_ivfpq_prunes_to_cell_and_respects_clusters(clustered_df):
     top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     agree = sum(true_cells[q] == true_cells[n] for q, n in top1.items())
     assert agree / len(top1) >= 0.9, f"cluster agreement {agree}/{len(top1)}"
+
+
+def test_pq_rerank_recovers_recall(spark):
+    """The refine stage's defining property: exact-cosine re-rank of the
+    ADC shortlist beats raw PQ top-k by an order of magnitude on the
+    isotropic (hard) fixture, and a bigger shortlist never hurts.
+    Measured on sf0.001 (deterministic): raw PQ exact-top-3 agreement
+    0.017, re-rank@10 0.117, re-rank@60 0.433."""
+    from languagedetection_spark.entry_queries import (
+        ann_pq_topk, embedding_topk,
+    )
+    from languagedetection_spark.operators.similarity import (
+        pq_rerank_topk_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact: dict[int, set] = {}
+    for r in embedding_topk(spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(s) for s in exact.values())
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & s)
+                   for q, s in exact.items()) / total
+
+    raw = recall(ann_pq_topk(spark, sf))
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.filter("vec_id < 20")
+    r10 = recall(pq_rerank_topk_df(e, q, k=3, shortlist=10))
+    r60 = recall(pq_rerank_topk_df(e, q, k=3, shortlist=60))
+    assert r10 >= 3 * raw, (raw, r10)
+    assert r60 >= r10, (r10, r60)
+    assert r60 >= 0.35, r60
