@@ -60,3 +60,37 @@ def test_doc_chunks_coverage_and_overlap(spark, tmp_path):
     assert c1[-1]["chunk_text"].split()[-1] == "w79"
     assert [(r["start_tok"], r["chunk_len"]) for r in by_doc[2]] == [(0, 3)]
     assert [(r["start_tok"], r["chunk_len"]) for r in by_doc[3]] == [(0, 32)]
+
+
+def test_nb_quality_distills_the_rule(spark, tmp_path):
+    """The NB classifier must actually learn the rule it distills: on a
+    corpus with a planted repetitive-spam cluster (rule-dropped) and
+    diverse normal docs (rule-kept), the learned log-odds separate the
+    classes and nb_keep reproduces the rule exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from languagedetection_spark.entry_queries import nb_quality_score
+
+    normal = [
+        (i, " ".join(f"w{i}x{j}" for j in range(8)) + " common words here")
+        for i in range(10)
+    ]
+    spam = [(100 + i, "junk " * 8 + "junk") for i in range(5)]
+    rows = normal + spam
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": ["src0"] * len(rows),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           nb_quality_score(spark, str(tmp_path)).collect()}
+    for i, _ in normal:
+        assert got[i]["nb_keep"] is True, got[i]
+    for i, _ in spam:
+        assert got[i]["nb_keep"] is False, got[i]
+    worst_normal = min(got[i]["log_odds"] for i, _ in normal)
+    best_spam = max(got[i]["log_odds"] for i, _ in spam)
+    assert worst_normal > 0 > best_spam
