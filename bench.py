@@ -59,7 +59,13 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "bloom_decontaminate",
     "bpe_merges",
-]  # streaming_join_attrib excluded: streaming-query startup dominates
+    "containment_pairs",
+    "segment_dedup",
+    "doc_chunks",
+    "ann_pq_rerank",
+    "nb_quality_score",
+    "lm_bigram_ppl",
+]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved
 # 3.60->4.89 s / 1.37->1.93 s without a code cause.  These queries rebuild
