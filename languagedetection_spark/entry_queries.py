@@ -1080,6 +1080,83 @@ GROUP BY per.doc_id
 """
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair,
+    how many of source A's distinct word-3-gram shingles also appear in
+    source B (count + containment share).  The corpus-health readout
+    behind mixture curation — a source whose shingles are largely
+    contained in another adds little diversity, and a benchmark-derived
+    source showing up inside a training source is a leak.
+
+    Scale shape: per-source distinct shingles are one map-side-combined
+    aggregate; the pair join is shingle-keyed with per-shingle source
+    lists CAPPED by construction (sources are few — the source-list agg
+    output is at most |sources| per shingle, never corpus-sized); the
+    final matrix is |sources|² rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"),
+                  F.col("shingle").alias("s"))
+    b = sh.select(F.col("source").alias("src_b"),
+                  F.col("shingle").alias("s"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("n_sh").alias("na"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .select(
+            "src_a", "src_b", "n_shared",
+            F.round(F.col("n_shared") / F.col("na"), 4)
+            .alias("containment_a_in_b"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH sh AS (
+    SELECT DISTINCT d.source, s.shingle
+    FROM documents d,
+         LATERAL (
+             SELECT unnest(list_transform(
+                 generate_series(1,
+                     greatest(len(string_split(d.text, ' ')) - 2, 0)),
+                 i -> array_to_string(
+                     list_slice(string_split(d.text, ' '), i, i + 2), ' ')
+             )) AS shingle
+         ) s
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.source <> b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / CAST(za.n_sh AS DOUBLE), 4) AS containment_a_in_b
+FROM inter i JOIN sizes za ON za.source = i.src_a
+"""
+
+
 def nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distilled quality classifier (the GPT-3/CCNet pattern: train a
     cheap model on labels from an expensive or rule-based filter, then
@@ -4714,6 +4791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session": streaming_session,
     "nb_quality_score": nb_quality_score,
     "lm_bigram_ppl": lm_bigram_ppl,
+    "source_overlap": source_overlap,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4858,4 +4936,5 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_session": SESSION_WINDOW_SQL,
     "nb_quality_score": NB_QUALITY_SQL,
     "lm_bigram_ppl": LM_BIGRAM_SQL,
+    "source_overlap": SOURCE_OVERLAP_SQL,
 }

@@ -99,7 +99,7 @@ EDGE_SAFE_QUERIES = (
     "doc_repetition", "lm_perplexity", "dedup_keep_best",
     "importance_weights",
     "containment_pairs", "segment_dedup", "doc_chunks",
-    "nb_quality_score", "lm_bigram_ppl",
+    "nb_quality_score", "lm_bigram_ppl", "source_overlap",
 )
 
 
