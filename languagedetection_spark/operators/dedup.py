@@ -116,8 +116,15 @@ def dedup_ngram_jaccard_df(docs: DataFrame, threshold: float = 0.5,
     100 TB corpus would otherwise dominate the join.  Pairs whose ONLY
     shared shingles are ultra-frequent are missed by design (they are
     boilerplate matches, not near-duplicates); pass ``None`` to disable
-    for exhaustive small-corpus runs."""
-    sh = shingle_df(docs)
+    for exhaustive small-corpus runs.
+
+    The shingle set is persisted: the plan consumes it from six branches
+    (guard frequency, two candidate sides, two verify sides, sizes) whose
+    per-branch column pruning defeats exchange reuse — unpersisted, the
+    corpus is re-scanned and re-shingled 16x per run (measured; post-AQE
+    ReusedExchange count stays 0).  The ContextCleaner releases the cache
+    when the plan is garbage-collected."""
+    sh = shingle_df(docs).persist()
     cand_src = sh
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
@@ -151,8 +158,10 @@ def containment_pairs_df(docs: DataFrame, threshold: float = 0.9,
 
     Scale shape is the guarded-Jaccard one: candidates come from the
     stop-shingle-guarded equi-join (never all-pairs), verification is
-    candidate-bounded, per-doc sizes broadcast."""
-    sh = shingle_df(docs)
+    candidate-bounded, per-doc sizes broadcast; the shingle set is
+    persisted for the same six-branch-reuse reason as
+    dedup_ngram_jaccard_df (16 corpus re-scans otherwise)."""
+    sh = shingle_df(docs).persist()
     cand_src = sh
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
