@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "nb_quality_score",
     "lm_bigram_ppl",
+    "sample_weighted",
+    "bm25_topk",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

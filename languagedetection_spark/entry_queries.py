@@ -4738,6 +4738,119 @@ WHERE doc_id % 3 = 2
 """
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py::
+    weighted_sample_df, Efraimidis-Spirakis A-ES): the 3 docs per source
+    with the smallest -ln(u)/w key, weight = text length + 1 (a stand-in
+    for any per-doc importance: quality score, DSIR weight, token count).
+    Seedless md5-uniform u makes the kept set identical across engines,
+    runs, and retries; ranking on the 10-dp-rounded key with a doc_id
+    tie-break removes libm ulp sensitivity."""
+    from .operators.sampling import weighted_sample_df
+
+    d = _t(spark, sf_dir, "documents")
+    wt = (F.coalesce(F.length("text"), F.lit(0)) + 1).alias("wt")
+    kept = weighted_sample_df(
+        d.select("doc_id", "source", wt), F.col("wt"), k=3,
+        stratum_col="source",
+    )
+    return kept.select("source", "doc_id", "wt", "es_key", "rk")
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH keyed AS (
+    SELECT source, doc_id, coalesce(length(text), 0) + 1 AS wt,
+           round(
+               -ln((('0x' || substr(md5(doc_id || ':aes-v1'), 1, 15))::BIGINT
+                    + 0.5) / 1152921504606846976.0)
+               / (coalesce(length(text), 0) + 1), 10) AS es_key
+    FROM documents
+)
+SELECT source, doc_id, wt, es_key, rk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY es_key ASC, doc_id ASC) AS rk
+    FROM keyed
+) WHERE rk <= 3
+"""
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus (k1 = 1.2, b = 0.75): top-20 docs
+    for a self-derived query -- the 3 highest-df terms of length >= 6
+    (deterministic: df desc, term asc), so the query spec needs no
+    magic constants tied to a scale factor.
+
+    Scale shape: tf / df / doclen are the same map-side-combined
+    aggregates as the inverted index; the query-term table is 3 rows
+    (broadcast), so scoring touches only those terms' postings; the
+    final top-20 is orderBy + limit = TakeOrderedAndProject (per-
+    partition partial top-k, no global sort).  Sum-over-3-terms FP
+    order differences sit below the 6-dp output rounding.  tf and dl
+    are persisted -- each feeds two branches (df/qterms + scoring;
+    avgdl + scoring) and per-branch pruning defeats exchange reuse
+    (the dedup_ngram_jaccard lesson: unpersisted, the corpus is
+    re-scanned and re-tokenized once per branch)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter("term <> ''")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).persist()
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        df_.filter(F.length("term") >= 6)
+        .orderBy(F.desc("df"), F.asc("term")).limit(3)
+    )
+    stats = d.agg(F.count("*").alias("n")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * 2.2
+           / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tfn), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+BM25_TOPK_SQL = """
+WITH toks AS (
+    SELECT d.doc_id, t.term
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
+    WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (
+    SELECT term, df FROM df WHERE length(term) >= 6
+    ORDER BY df DESC, term ASC LIMIT 3
+),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT avg(dl) FROM dl) AS avgdl
+)
+SELECT tf.doc_id,
+       round(sum(
+           ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN qterms q USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4792,6 +4905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_quality_score": nb_quality_score,
     "lm_bigram_ppl": lm_bigram_ppl,
     "source_overlap": source_overlap,
+    "sample_weighted": sample_weighted,
+    "bm25_topk": bm25_topk,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -4937,4 +5052,6 @@ ORACLE_SQL: dict[str, str] = {
     "nb_quality_score": NB_QUALITY_SQL,
     "lm_bigram_ppl": LM_BIGRAM_SQL,
     "source_overlap": SOURCE_OVERLAP_SQL,
+    "sample_weighted": SAMPLE_WEIGHTED_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
 }

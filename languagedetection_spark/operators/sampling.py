@@ -48,3 +48,53 @@ def sample_stratified_df(docs: DataFrame, rates: DataFrame,
         .filter(F.col("_u") < F.col("rate"))
         .drop("_u", "rate")
     )
+
+
+def es_key(key_col, weight_col, salt: str = "aes-v1"):
+    """Efraimidis-Spirakis exponential key: -ln(u)/w, with u derived from
+    the same stable md5 family as ``hash_uniform`` but offset to
+    (h + 0.5) / 2^60 so u is STRICTLY inside (0, 1) -- ln(0) is an error
+    in DuckDB and NULL in Spark, and a 2^-60 digest would silently
+    diverge the engines.  Taking the k SMALLEST keys samples k items
+    without replacement with probability proportional to ``weight_col``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key_col.cast("string"), F.lit(":" + salt))), 1, 15
+        ),
+        16, 10,
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << HASH_BITS))
+    return -F.log(u) / weight_col
+
+
+def weighted_sample_df(docs: DataFrame, weight_col, k: int,
+                       stratum_col: str = "source",
+                       key_col: str = "doc_id",
+                       salt: str = "aes-v1") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    keep the k docs with the smallest -ln(u)/w per stratum.  The standard
+    corpus-mixing primitive when docs have unequal importance (quality
+    scores, DSIR weights, token counts) and the mixture spec is 'k docs
+    per source', not a rate.
+
+    Deterministic and engine-portable for the same reasons as
+    ``sample_stratified_df`` (md5, no RNG state), so retries and the
+    DuckDB oracle reproduce the exact kept set.  Ranking uses the key
+    ROUNDED to 10 dp with a doc_id tie-break, so cross-engine libm ulp
+    differences in ln() cannot flip ranks.
+
+    Scale shape: the key is map-only per row; per-stratum top-k is a
+    window over the stratum shuffle.  At 100 TB with huge strata, bound
+    the sort by pre-pruning with an approximate per-stratum threshold
+    (approxQuantile of the key at ~k/stratum_rows) before the window --
+    the key column itself makes that a one-pass filter."""
+    keyed = docs.withColumn(
+        "es_key", F.round(es_key(F.col(key_col), weight_col, salt), 10)
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(F.asc("es_key"), F.asc(key_col)))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

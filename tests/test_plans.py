@@ -5,7 +5,18 @@ right, then pinned here.)"""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
+
+
+@pytest.fixture(autouse=True)
+def _cache_clean(spark):
+    """Plan pins must be cache-independent: Spark's CacheManager matches by
+    logical plan, so a DataFrame persisted by an EARLIER test (e.g.
+    bm25_topk's tf posting list, plan-identical to inverted_index's) gets
+    silently substituted as an InMemoryRelation and changes the explain
+    string these tests assert on."""
+    spark.catalog.clearCache()
 
 
 def _plan(df) -> str:

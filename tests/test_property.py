@@ -292,3 +292,47 @@ def test_winnow_fingerprints_equal_duckdb(text):
         )
     """, [text]).fetchall()
     assert {r[0] for r in rows} == py
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted sampling (operators/sampling.py::es_key)
+# ---------------------------------------------------------------------------
+
+def _es_key_py(key: str, w: float, salt: str) -> float:
+    """Pure-Python mirror of operators.sampling.es_key (md5 -> 60-bit h,
+    u = (h + 0.5)/2^60, key = -ln(u)/w)."""
+    import hashlib
+    import math
+
+    h = int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:15], 16)
+    return -math.log((h + 0.5) / float(1 << 60)) / w
+
+
+def test_es_key_selection_tracks_weights():
+    """Efraimidis-Spirakis guarantee: P(item wins a k=1 sample) = w_i /
+    sum(w).  The md5 family is deterministic, so sweep the salt instead of
+    an RNG: over 400 salts, a weight-9 item must beat a weight-1 item
+    ~90% of the time.  The realized count is a fixed number (no flaking);
+    the band just documents how much slack the estimate is given."""
+    wins = sum(
+        1
+        for s in range(400)
+        if _es_key_py("heavy", 9.0, f"salt{s}") < _es_key_py("light", 1.0, f"salt{s}")
+    )
+    assert 330 <= wins <= 390, wins  # E = 360, sd ~ 6
+
+
+def test_es_key_is_deterministic_and_engine_portable():
+    """Same (key, weight, salt) -> bit-identical key in pure Python and in
+    DuckDB with the SQL form used by the sample_weighted oracle."""
+    import duckdb
+
+    for key, w in [("0", 1.0), ("42", 7.0), ("9999", 158.0)]:
+        sql = duckdb.execute(
+            """
+            SELECT -ln((('0x' || substr(md5(? || ':aes-v1'), 1, 15))::BIGINT
+                        + 0.5) / 1152921504606846976.0) / ?
+            """,
+            [key, w],
+        ).fetchone()[0]
+        assert sql == pytest.approx(_es_key_py(key, w, "aes-v1"), abs=0, rel=1e-15)
