@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "lm_bigram_ppl",
     "sample_weighted",
     "bm25_topk",
+    "heavy_hitters",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

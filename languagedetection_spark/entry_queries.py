@@ -4817,6 +4817,101 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
 
 
+def _cms_bucket(term_col, i: int, width: int = 1024):
+    """Count-min-sketch bucket for hash row *i*: md5-family (engine-
+    portable, same recipe as operators/sampling.py) -> 60-bit nonnegative
+    h -> h % width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(term_col, F.lit(f":cms{i}"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    return h % F.lit(width)
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation for the corpus's top-20 terms,
+    with the CMS no-underestimate guarantee verified in-query (cms_est >=
+    exact, always true -- a wrong hash/bucket on either engine flips it).
+
+    Why a sketch at 100 TB: the exact term-count agg shuffles a vocab-
+    sized table; the CMS is d=3 x w=1024 counters REGARDLESS of corpus or
+    vocab size -- map-side combine caps the shuffle at 3072 rows per input
+    partition, the merged sketch broadcasts in one packet, and point
+    estimates are 3 integer lookups.  The exact side here is the
+    verification twin (and supplies the top-20 probe terms); production
+    keeps only the sketch.  The token stream is persisted -- sketch build
+    and exact twin both consume it (exchange-reuse lesson)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter("term <> ''").persist()
+    )
+
+    def three_buckets(term_col):
+        return F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     _cms_bucket(term_col, i).alias("b"))
+            for i in range(3)
+        ])).alias("ib")
+
+    sketch = (
+        toks.select(three_buckets(F.col("term")))
+        .select("ib.i", "ib.b")
+        .groupBy("i", "b").agg(F.count("*").alias("c"))
+    )
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
+    probes = (
+        top.select("term", "exact_cnt", three_buckets(F.col("term")))
+        .select("term", "exact_cnt", "ib.i", "ib.b")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "term", "exact_cnt", "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_underestimate"),
+        )
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+    SELECT t.term
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
+    WHERE t.term <> ''
+),
+hashes AS (SELECT unnest([0, 1, 2]) AS i),
+sketch AS (
+    SELECT h.i AS i,
+           ('0x' || substr(md5(term || ':cms' || h.i), 1, 15))::BIGINT
+               % 1024 AS b,
+           count(*) AS c
+    FROM toks, hashes h
+    GROUP BY 1, 2
+),
+exact AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term),
+top AS (
+    SELECT term, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, term ASC LIMIT 20
+),
+est AS (
+    SELECT t.term, t.exact_cnt, min(s.c) AS cms_est
+    FROM top t, hashes h
+    JOIN sketch s
+      ON s.i = h.i
+     AND s.b = ('0x' || substr(md5(t.term || ':cms' || h.i), 1, 15))::BIGINT
+               % 1024
+    GROUP BY 1, 2
+)
+SELECT term, exact_cnt, cms_est,
+       cms_est >= exact_cnt AS no_underestimate
+FROM est
+"""
+
+
 BM25_TOPK_SQL = """
 WITH toks AS (
     SELECT d.doc_id, t.term
@@ -4907,6 +5002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": source_overlap,
     "sample_weighted": sample_weighted,
     "bm25_topk": bm25_topk,
+    "heavy_hitters": heavy_hitters,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -5054,4 +5150,5 @@ ORACLE_SQL: dict[str, str] = {
     "source_overlap": SOURCE_OVERLAP_SQL,
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "heavy_hitters": HEAVY_HITTERS_SQL,
 }

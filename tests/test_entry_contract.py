@@ -100,7 +100,7 @@ EDGE_SAFE_QUERIES = (
     "importance_weights",
     "containment_pairs", "segment_dedup", "doc_chunks",
     "nb_quality_score", "lm_bigram_ppl", "source_overlap",
-    "sample_weighted", "bm25_topk",
+    "sample_weighted", "bm25_topk", "heavy_hitters",
 )
 
 

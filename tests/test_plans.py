@@ -221,6 +221,20 @@ def test_new_aggregate_queries_use_partial_aggregation(spark):
         assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
+def test_cms_sketch_is_broadcast_and_partially_aggregated(spark):
+    """heavy_hitters' count-min sketch must (a) reach the probe join as a
+    BroadcastExchange -- it is <= 3x1024 rows by construction, independent
+    of corpus size -- and (b) be built with map-side partial aggregation,
+    so the shuffle carries at most 3072 rows per input partition."""
+    from languagedetection_spark.entry_queries import heavy_hitters
+
+    df = heavy_hitters(spark, SF)
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
 def test_winnow_fingerprints_map_only(spark):
     """Winnowing fingerprints are computed row-locally -- nothing shuffles
     until the fp-keyed candidate join."""
