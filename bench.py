@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "sample_weighted",
     "bm25_topk",
     "heavy_hitters",
+    "code_switch_segments",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

@@ -4817,6 +4817,93 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
 
 
+def code_switch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection (operators/textstats.py::code_switch_df):
+    language-ID every 12-token segment against the same src0-trained
+    stopword profile as langid_heuristic, then report per-doc mixture
+    stats (segment count, distinct predicted languages, dominant language
+    + share, code_switched flag).  Doc-level argmax hides mid-document
+    language flips; this is the router for multilingual/drop decisions."""
+    from .operators.textstats import code_switch_df
+
+    d = _t(spark, sf_dir, "documents")
+    dim = _dim_df(spark).select("iso", "language")
+    labeled = (
+        d.filter("source = 'src0'")
+        .join(F.broadcast(dim), d.lang == dim.iso)
+        .select("language", "text")
+    )
+    return code_switch_df(d.select("doc_id", "text"), labeled)
+
+
+CODE_SWITCH_SQL = f"""
+WITH labeled AS (
+    SELECT m.language, d.text
+    FROM documents d JOIN {_dim_values_sql("m")} ON d.lang = m.iso
+    WHERE d.source = 'src0'
+),
+lt AS (
+    SELECT l.language, t.word
+    FROM labeled l, LATERAL (SELECT unnest(string_split(l.text, ' ')) AS word) t
+    WHERE t.word <> ''
+),
+freq AS (SELECT language, word, count(*) AS f FROM lt GROUP BY 1, 2),
+profile AS (
+    SELECT language, word FROM (
+        SELECT *, row_number() OVER (PARTITION BY language
+                                     ORDER BY f DESC, word) AS rn
+        FROM freq
+    ) WHERE rn <= 8
+),
+segw AS (
+    SELECT d.doc_id,
+           CAST(floor((i.i - 1) / 12) AS INTEGER) AS seg,
+           ft.l[i.i] AS word
+    FROM documents d,
+         LATERAL (SELECT list_filter(string_split(d.text, ' '),
+                                     t -> t <> '') AS l) ft,
+         LATERAL (SELECT unnest(generate_series(1, len(ft.l))) AS i) i
+),
+seg_counts AS (SELECT doc_id, seg, count(*) AS n FROM segw GROUP BY 1, 2),
+hits AS (
+    SELECT s.doc_id, s.seg, p.language, count(*) AS h
+    FROM segw s JOIN profile p ON s.word = p.word
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT h.doc_id, h.seg, h.language,
+           round(h.h / CAST(c.n AS DOUBLE), 4) AS score
+    FROM hits h JOIN seg_counts c USING (doc_id, seg)
+),
+seg_pred AS (
+    SELECT doc_id, seg, language AS seg_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, seg
+                                     ORDER BY score DESC, language ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+lang_counts AS (
+    SELECT doc_id, seg_lang, count(*) AS c FROM seg_pred GROUP BY 1, 2
+),
+dom AS (
+    SELECT doc_id, seg_lang AS dom_lang, c AS dom_cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, seg_lang ASC) AS rn
+        FROM lang_counts
+    ) WHERE rn = 1
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_segments,
+           count(DISTINCT seg_lang) AS n_langs
+    FROM seg_pred GROUP BY 1
+)
+SELECT p.doc_id, p.n_segments, p.n_langs, d.dom_lang,
+       round(d.dom_cnt / CAST(p.n_segments AS DOUBLE), 4) AS dom_share,
+       p.n_langs >= 2 AS code_switched
+FROM per_doc p JOIN dom d USING (doc_id)
+"""
+
+
 def _cms_bucket(term_col, i: int, width: int = 1024):
     """Count-min-sketch bucket for hash row *i*: md5-family (engine-
     portable, same recipe as operators/sampling.py) -> 60-bit nonnegative
@@ -5003,6 +5090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted": sample_weighted,
     "bm25_topk": bm25_topk,
     "heavy_hitters": heavy_hitters,
+    "code_switch_segments": code_switch_segments,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -5151,4 +5239,5 @@ ORACLE_SQL: dict[str, str] = {
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
+    "code_switch_segments": CODE_SWITCH_SQL,
 }

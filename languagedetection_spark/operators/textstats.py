@@ -67,20 +67,27 @@ def bpe_token_count_df(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def langid_heuristic_df(docs: DataFrame, labeled: DataFrame,
-                        profile_size: int = 8) -> DataFrame:
-    """docs: (doc_id, text); labeled: (language, text).  Returns
-    (doc_id, pred_lang, score) -- stopword-overlap argmax."""
+def lang_profile_df(labeled: DataFrame, profile_size: int = 8) -> DataFrame:
+    """Top-``profile_size`` most-frequent words per language (ties by word
+    asc) from labeled (language, text) -- the stopword profile shared by
+    the doc-level and segment-level heuristic language IDs."""
     ltoks = labeled.select(
         "language", F.explode(F.split("text", " ")).alias("word")
     ).filter("word <> ''")
     freq = ltoks.groupBy("language", "word").agg(F.count("*").alias("f"))
     wp = W.partitionBy("language").orderBy(F.desc("f"), F.asc("word"))
-    profile = (
+    return (
         freq.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= profile_size)
         .select("language", "word")
     )
+
+
+def langid_heuristic_df(docs: DataFrame, labeled: DataFrame,
+                        profile_size: int = 8) -> DataFrame:
+    """docs: (doc_id, text); labeled: (language, text).  Returns
+    (doc_id, pred_lang, score) -- stopword-overlap argmax."""
+    profile = lang_profile_df(labeled, profile_size)
     dtoks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter("word <> ''")
@@ -98,6 +105,82 @@ def langid_heuristic_df(docs: DataFrame, labeled: DataFrame,
         scored.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select("doc_id", F.col("language").alias("pred_lang"), "score")
+    )
+
+
+def code_switch_df(docs: DataFrame, labeled: DataFrame,
+                   seg_tokens: int = 12,
+                   profile_size: int = 8) -> DataFrame:
+    """Code-switching detection: language-ID the doc's fixed-size token
+    SEGMENTS independently and report per-doc mixture stats.  A doc-level
+    argmax hides a document that flips language mid-way (interleaved
+    translations, quoted foreign passages, contaminated concatenations);
+    segment-level variance is the standard router for 'send to the
+    multilingual pipeline / drop' decisions.
+
+    Returns (doc_id, n_segments, n_langs, dom_lang, dom_share,
+    code_switched) over docs with >= 1 profile-hitting segment; segments
+    with no profile hits carry no prediction and are excluded from the
+    mixture (consistent in the oracle).  Ties: segment argmax by rounded
+    score desc then language asc; dominant language by segment count desc
+    then language asc.
+
+    Scale shape: the profile is vocab-top-k and broadcasts; segment
+    scoring is the same hit-join + count algebra as the doc-level op,
+    keyed by (doc_id, seg); the token stream is persisted (segment sizes
+    + hits both consume it)."""
+    profile = lang_profile_df(labeled, profile_size)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    seg_words = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+        .select(
+            "doc_id",
+            F.floor(F.col("pos") / seg_tokens).cast("int").alias("seg"),
+            "word",
+        )
+        .persist()
+    )
+    seg_counts = seg_words.groupBy("doc_id", "seg").agg(
+        F.count("*").alias("n")
+    )
+    hits = (
+        seg_words.join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "seg", "language")
+        .agg(F.count("*").alias("h"))
+    )
+    scored = hits.join(seg_counts, ["doc_id", "seg"]).withColumn(
+        "score", F.round(F.col("h") / F.col("n"), 4)
+    )
+    w = W.partitionBy("doc_id", "seg").orderBy(
+        F.desc("score"), F.asc("language")
+    )
+    seg_pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "seg", F.col("language").alias("seg_lang"))
+        .persist()
+    )
+    lang_counts = seg_pred.groupBy("doc_id", "seg_lang").agg(
+        F.count("*").alias("c")
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("seg_lang"))
+    dom = (
+        lang_counts.withColumn("rn", F.row_number().over(wd))
+        .filter("rn = 1")
+        .select(
+            "doc_id",
+            F.col("seg_lang").alias("dom_lang"),
+            F.col("c").alias("dom_cnt"),
+        )
+    )
+    per_doc = seg_pred.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.countDistinct("seg_lang").alias("n_langs"),
+    )
+    return per_doc.join(dom, "doc_id").select(
+        "doc_id", "n_segments", "n_langs", "dom_lang",
+        F.round(F.col("dom_cnt") / F.col("n_segments"), 4).alias("dom_share"),
+        (F.col("n_langs") >= 2).alias("code_switched"),
     )
 
 
