@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "heavy_hitters",
     "code_switch_segments",
+    "source_pagerank",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

@@ -4904,6 +4904,128 @@ FROM per_doc p JOIN dom d USING (doc_id)
 """
 
 
+def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d = 0.85, exactly 3 iterations) over the
+    cross-source shingle-overlap graph: edge src->dst weighted by the
+    number of distinct word-3-gram shingles the two sources share
+    (source_overlap's edge build), transition probability w / w_out.
+    Centrality here reads as 'duplicate-flow hub-ness' — a source that
+    many others' content funnels into is downweighted first in mixture
+    curation.
+
+    The iteration count is FIXED so the whole computation unrolls into
+    the DuckDB oracle (it1/it2/it3 CTEs); dangling sources receive the
+    (1-d)/N base each round (simplified PR, same convention both
+    engines).  Intermediate ranks stay full-precision; only the output
+    rounds (6 dp), so cross-engine sum-order noise (~1e-16) cannot
+    compound across rounds into a visible diff.
+
+    Scale shape: the edge build is source_overlap's (per-shingle source
+    lists capped at |sources|); each iteration is one contribution join
+    + one dst-keyed agg — on a big graph, edges pre-partitioned by src
+    and ranks broadcast when the node table is small make every round a
+    map-side join.  Edges/nodes are persisted (reused every round)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("src"), F.col("shingle").alias("s"))
+    b = sh.select(F.col("source").alias("dst"), F.col("shingle").alias("s"))
+    edges = (
+        a.join(b, "s")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p_edge"))
+        .persist()
+    )
+    nodes = d.select("source").distinct().persist()
+    n = nodes.count()  # |sources| — model-sized, never corpus-sized
+    if n == 0:
+        return nodes.select(
+            F.col("source"), F.lit(0.0).alias("pagerank")
+        )
+    ranks = nodes.select("source", F.lit(1.0 / n).alias("p"))
+    for _ in range(3):
+        contrib = (
+            ranks.join(norm, ranks["source"] == norm["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("p_edge")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["source"] == contrib["dst"], "left")
+            .select(
+                nodes["source"],
+                (F.lit(0.15 / n)
+                 + 0.85 * F.coalesce(F.col("m"), F.lit(0.0))).alias("p"),
+            )
+        )
+    return ranks.select("source", F.round("p", 6).alias("pagerank"))
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PR round: cur = 0.15/N + 0.85 * inbound mass."""
+    return f"""
+{cur} AS (
+    SELECT nodes.source,
+           0.15 / nn.n + 0.85 * coalesce(c.m, 0.0) AS p
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (
+        SELECT norm.dst, sum({prev}.p * norm.p_edge) AS m
+        FROM {prev} JOIN norm ON {prev}.source = norm.src
+        GROUP BY 1
+    ) c ON c.dst = nodes.source
+)"""
+
+
+SOURCE_PAGERANK_SQL = f"""
+WITH sh AS (
+    SELECT DISTINCT d.source, s.shingle
+    FROM documents d,
+         LATERAL (
+             SELECT unnest(list_transform(
+                 generate_series(1,
+                     greatest(len(string_split(d.text, ' ')) - 2, 0)),
+                 i -> array_to_string(
+                     list_slice(string_split(d.text, ' '), i, i + 2), ' ')
+             )) AS shingle
+         ) s
+),
+edges AS (
+    SELECT a.source AS src, b.source AS dst, count(*) AS w
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+    GROUP BY 1, 2
+),
+norm AS (
+    SELECT src, dst,
+           w / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE) AS p_edge
+    FROM edges
+),
+nodes AS (SELECT DISTINCT source FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+it0 AS (SELECT nodes.source, 1.0 / nn.n AS p FROM nodes CROSS JOIN nn),
+{_pagerank_iter_sql("it0", "it1")},
+{_pagerank_iter_sql("it1", "it2")},
+{_pagerank_iter_sql("it2", "it3")}
+SELECT source, round(p, 6) AS pagerank FROM it3
+"""
+
+
 def _cms_bucket(term_col, i: int, width: int = 1024):
     """Count-min-sketch bucket for hash row *i*: md5-family (engine-
     portable, same recipe as operators/sampling.py) -> 60-bit nonnegative
@@ -5091,6 +5213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": bm25_topk,
     "heavy_hitters": heavy_hitters,
     "code_switch_segments": code_switch_segments,
+    "source_pagerank": source_pagerank,
     # --- core reference-semantics + pipeline queries ---
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
@@ -5240,4 +5363,5 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": BM25_TOPK_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "code_switch_segments": CODE_SWITCH_SQL,
+    "source_pagerank": SOURCE_PAGERANK_SQL,
 }

@@ -101,7 +101,7 @@ EDGE_SAFE_QUERIES = (
     "containment_pairs", "segment_dedup", "doc_chunks",
     "nb_quality_score", "lm_bigram_ppl", "source_overlap",
     "sample_weighted", "bm25_topk", "heavy_hitters",
-    "code_switch_segments",
+    "code_switch_segments", "source_pagerank",
 )
 
 

@@ -128,3 +128,35 @@ def test_code_switch_detects_planted_language_flip(spark):
     assert got[2]["dom_lang"] == "english" and got[2]["dom_share"] == 1.0
     assert got[3]["dom_lang"] == "german"
     assert 4 not in got  # zero profile hits -> no mixture row
+
+
+def test_source_pagerank_ranks_the_hub_highest(spark, tmp_path):
+    """Planted star graph: spokes b/c/d each share shingles only with hub
+    a, so after 3 weighted-PR rounds the hub must rank strictly highest
+    and the spokes identically (symmetry)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from languagedetection_spark.entry_queries import source_pagerank
+
+    rows = [
+        (0, "a", "ab1 ab2 ab3 ac1 ac2 ac3 ad1 ad2 ad3"),  # hub
+        (1, "b", "ab1 ab2 ab3"),
+        (2, "c", "ac1 ac2 ac3"),
+        (3, "d", "ad1 ad2 ad3"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[2] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[1] for r in rows],
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    pr = {r["source"]: r["pagerank"]
+          for r in source_pagerank(spark, str(tmp_path)).collect()}
+    assert set(pr) == {"a", "b", "c", "d"}
+    assert pr["a"] > pr["b"] and pr["a"] > pr["c"] and pr["a"] > pr["d"]
+    assert pr["b"] == pr["c"] == pr["d"]
+    # simplified PR without dangling redistribution still conserves mass
+    # here (no dangling nodes in the star) up to rounding
+    assert abs(sum(pr.values()) - 1.0) < 1e-4
