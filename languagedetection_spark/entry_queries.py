@@ -1092,7 +1092,11 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the pair join is shingle-keyed with per-shingle source
     lists CAPPED by construction (sources are few — the source-list agg
     output is at most |sources| per shingle, never corpus-sized); the
-    final matrix is |sources|² rows."""
+    final matrix is |sources|² rows.  The per-source shingle set is
+    persisted — it feeds three branches (sizes + both self-join sides)
+    whose per-branch pruning defeats exchange reuse (the dedup-family
+    lesson: unpersisted, the corpus is re-scanned and re-shingled once
+    per branch)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.size(toks) - 2)
@@ -1107,6 +1111,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("source").alias("src_a"),
@@ -4924,7 +4929,9 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists capped at |sources|); each iteration is one contribution join
     + one dst-keyed agg — on a big graph, edges pre-partitioned by src
     and ranks broadcast when the node table is small make every round a
-    map-side join.  Edges/nodes are persisted (reused every round)."""
+    map-side join.  Edges/nodes are persisted (reused every round), and
+    the shingle set too (both self-join sides consume it — unpersisted,
+    the corpus is scanned and re-shingled twice)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.size(toks) - 2)
@@ -4939,6 +4946,7 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+        .persist()
     )
     a = sh.select(F.col("source").alias("src"), F.col("shingle").alias("s"))
     b = sh.select(F.col("source").alias("dst"), F.col("shingle").alias("s"))
