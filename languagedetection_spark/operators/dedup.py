@@ -377,8 +377,13 @@ def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
     (minhash_signatures_native_df) for production runs: identical banding,
     verification, and output contract; different (but equally uniform) LSH
     randomness, so candidate sets may differ while verified pairs at the
-    Jaccard threshold agree (pinned by the differential test)."""
-    sh = shingle_df(docs)
+    Jaccard threshold agree (pinned by the differential test).
+
+    The shingle set is persisted for the verify stage: _verify_jaccard
+    consumes it from three pruned branches (sizes + both intersection
+    sides), the same multi-consumer shape that cost the Jaccard operator
+    16 corpus re-scans before its persist fix."""
+    sh = shingle_df(docs).persist()
     spark = docs.sparkSession
     if hash_family == "xxhash64":
         sig = minhash_signatures_native_df(docs, k)
