@@ -646,8 +646,14 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     distance 3 of a 60-bit code must agree on >= 1 of 4 bands), verify with
     bit_count(xor).  Band buckets fuller than ``max_band_freq`` are dropped
     from candidate generation (see _band_freq_guard -- exact-dup crowds
-    share every band and go quadratic otherwise)."""
-    fps = simhash_df(docs)
+    share every band and go quadratic otherwise).
+
+    The signature DataFrame is persisted: the banded view feeds three
+    pruned branches (guard frequency + both self-join sides), and without
+    the cache each branch re-runs the Arrow signature kernel over the
+    whole corpus (the shingle-family exchange-reuse lesson; signatures
+    are one small row per doc, the cheapest thing in the plan to hold)."""
+    fps = simhash_df(docs).persist()
     spark = docs.sparkSession
     band_ids = spark.range(SIMHASH_BANDS).select(
         F.col("id").cast("int").alias("b")
@@ -738,8 +744,12 @@ def substring_dup_pairs_df(docs: DataFrame, k: int = WINNOW_K,
     (df <= cap, same design as the n-gram stop-shingle guard) bounds the
     equi-join fanout per fp at cap^2 pairs, so a boilerplate substring
     shared by half the corpus cannot quadratically explode the join; all
-    shuffles are fp-keyed with map-side combine on the pair counts."""
-    fps = winnow_fingerprints_df(docs, k, w)
+    shuffles are fp-keyed with map-side combine on the pair counts.
+
+    Fingerprints are persisted: the guard frequency and both equi-join
+    sides are separately-pruned consumers, and without the cache each
+    re-runs the winnowing Arrow kernel over the whole corpus."""
+    fps = winnow_fingerprints_df(docs, k, w).persist()
     keep = fps.groupBy("fp").agg(F.count("*").alias("df_")).filter(
         F.col("df_") <= cap
     ).select("fp")
