@@ -3488,9 +3488,12 @@ def pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _dim_df(spark)
 
     # ---- langid: winner + conf (same CTEs as classify_relational) --------
+    # persisted: consumed by BOTH the perplexity join and the final cascade
+    # join, and the classify subplan is itself a 6-exchange query -- without
+    # the cache the whole langid pipeline runs twice (exchange-reuse lesson)
     preds = classify_relational(spark, sf_dir).select(
         "doc_id", "pred_lang", F.col("score").alias("lang_conf")
-    )
+    ).persist()
 
     # ---- trigram model from the labeled subset ----------------------------
     # (< 3-char rows filtered first -- Spark's sequence(1, 0) descends)
@@ -3507,7 +3510,11 @@ def pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dim), d.lang == dim.iso
     ).select("language", "text")
     lt = grams(labeled, "language")
-    counts = lt.groupBy("language", "tri").agg(F.count("*").alias("c"))
+    # persisted: model-sized (trigram vocab), consumed by totals AND the
+    # model join
+    counts = lt.groupBy("language", "tri").agg(
+        F.count("*").alias("c")
+    ).persist()
     totals = counts.groupBy("language").agg(
         F.sum("c").alias("total"), F.count("*").alias("vsize")
     )
@@ -3659,7 +3666,10 @@ def conv_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-rate, turn count, dominant language and mean perplexity."""
     decisions = pipeline_keep(spark, sf_dir)
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    joined = decisions.join(d, "doc_id")
+    # persisted: the keep-rate aggregate and the dominant-language window
+    # are separately-pruned consumers of the full cascade output -- without
+    # the cache the whole pipeline_keep plan runs twice
+    joined = decisions.join(d, "doc_id").persist()
     agg = joined.groupBy("source").agg(
         F.count("*").alias("n_turns"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
