@@ -1017,7 +1017,9 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
         % B
     ).alias("b")
-    tb = toks.select("doc_id", "source", bucket)
+    # persisted: the target histogram, raw histogram, and per-doc bags are
+    # three separately-pruned consumers of the hashed token stream
+    tb = toks.select("doc_id", "source", bucket).persist()
     tgt = tb.filter("source = 'src0'").groupBy("b").agg(
         F.count("*").alias("ct")
     )
@@ -1177,15 +1179,20 @@ def nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb_keep boolean is derived from the ROUNDED score so both engines
     threshold the identical value."""
     d = _t(spark, sf_dir, "documents")
-    labels = doc_quality_score(spark, sf_dir).select("doc_id", "keep")
+    # persists (exchange-reuse lesson): labels is a full sub-query consumed
+    # by the class counts AND the prior; toks feeds training and scoring;
+    # cls (vocab-sized) feeds the totals and the log-ratio join
+    labels = doc_quality_score(spark, sf_dir).select(
+        "doc_id", "keep"
+    ).persist()
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter("w <> ''")
+    ).filter("w <> ''").persist()
     lt = toks.join(labels, "doc_id")
     cls = lt.groupBy("w").agg(
         F.sum(F.col("keep").cast("long")).alias("ck"),
         F.sum((~F.col("keep")).cast("long")).alias("cd"),
-    )
+    ).persist()
     tot = cls.agg(
         F.sum("ck").alias("nk"), F.sum("cd").alias("nd"),
         F.count("*").alias("v"),
@@ -1287,8 +1294,12 @@ def lm_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(toks, 2, n_t - 1).alias("w2"),
             )
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
-    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ).select("doc_id", "bg.w1", "bg.w2").persist()
+    # bigrams feeds the model counts AND per-doc scoring; c12 (bigram-
+    # vocab-sized) feeds the context totals AND the probability join
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    ).persist()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = d.select(F.explode(toks).alias("w")).filter("w <> ''") \
         .agg(F.count_distinct("w").alias("v"))

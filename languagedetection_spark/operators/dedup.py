@@ -392,11 +392,15 @@ def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     band_ids = spark.range(bands).select(F.col("id").cast("int").alias("b"))
+    # persisted: the band-frequency guard and both self-join sides are
+    # three separately-pruned consumers of the banded signatures -- the
+    # cache makes the k-hash signature kernel run exactly once instead of
+    # relying on ReuseExchange (which the guard branch defeats)
     banded = sig.crossJoin(F.broadcast(band_ids)).select(
         "doc_id", "b",
         F.expr(f"concat_ws('_', slice(sig, b * {rows} + 1, {rows}))")
         .alias("key"),
-    )
+    ).persist()
     if hash_family == "xxhash64":
         # expression-backed sig would be recomputed once per self-join side;
         # an explicit band-key shuffle is built once and reused by both
