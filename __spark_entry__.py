@@ -74,12 +74,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _scoped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS query's registered caches before building the
+    next one (plans.cache_registry): by the time the driver invokes query
+    N+1 it has collected query N's result, so at most one query's
+    corpus-sized caches are ever live in the one-session full-registry
+    replay — bounding executor storage AND the CacheManager cross-query
+    plan-substitution hazard.  Internal cross-query calls use the unwrapped
+    module functions and are unaffected."""
+    import functools
+
+    from languagedetection_spark.plans.cache_registry import release_all
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_all()
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     training-data ops).  Each callable takes (spark, sf_dir)."""
     from languagedetection_spark.entry_queries import QUERIES
 
-    return dict(QUERIES)
+    return {name: _scoped(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

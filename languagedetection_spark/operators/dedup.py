@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.cache_registry import cache as _cached
+
 MINHASH_K = 12
 MINHASH_BANDS = 3
 MINHASH_ROWS = 4  # K = BANDS * ROWS
@@ -122,9 +124,12 @@ def dedup_ngram_jaccard_df(docs: DataFrame, threshold: float = 0.5,
     (guard frequency, two candidate sides, two verify sides, sizes) whose
     per-branch column pruning defeats exchange reuse — unpersisted, the
     corpus is re-scanned and re-shingled 16x per run (measured; post-AQE
-    ReusedExchange count stays 0).  The ContextCleaner releases the cache
-    when the plan is garbage-collected."""
-    sh = shingle_df(docs).persist()
+    ReusedExchange count stays 0).  The cache is registered with
+    plans.cache_registry (NOT left to the ContextCleaner, which never
+    frees DataFrame caches — CacheManager pins the InMemoryRelation until
+    an explicit unpersist): the next top-level registry query releases
+    it, once this query's consumers have been collected."""
+    sh = shingle_df(docs).transform(_cached)
     cand_src = sh
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
@@ -161,7 +166,7 @@ def containment_pairs_df(docs: DataFrame, threshold: float = 0.9,
     candidate-bounded, per-doc sizes broadcast; the shingle set is
     persisted for the same six-branch-reuse reason as
     dedup_ngram_jaccard_df (16 corpus re-scans otherwise)."""
-    sh = shingle_df(docs).persist()
+    sh = shingle_df(docs).transform(_cached)
     cand_src = sh
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
@@ -383,7 +388,7 @@ def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
     consumes it from three pruned branches (sizes + both intersection
     sides), the same multi-consumer shape that cost the Jaccard operator
     16 corpus re-scans before its persist fix."""
-    sh = shingle_df(docs).persist()
+    sh = shingle_df(docs).transform(_cached)
     spark = docs.sparkSession
     if hash_family == "xxhash64":
         sig = minhash_signatures_native_df(docs, k)
@@ -400,7 +405,7 @@ def dedup_minhash_lsh_df(docs: DataFrame, threshold: float = 0.5,
         "doc_id", "b",
         F.expr(f"concat_ws('_', slice(sig, b * {rows} + 1, {rows}))")
         .alias("key"),
-    ).persist()
+    ).transform(_cached)
     if hash_family == "xxhash64":
         # expression-backed sig would be recomputed once per self-join side;
         # an explicit band-key shuffle is built once and reused by both
@@ -657,7 +662,7 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     the cache each branch re-runs the Arrow signature kernel over the
     whole corpus (the shingle-family exchange-reuse lesson; signatures
     are one small row per doc, the cheapest thing in the plan to hold)."""
-    fps = simhash_df(docs).persist()
+    fps = simhash_df(docs).transform(_cached)
     spark = docs.sparkSession
     band_ids = spark.range(SIMHASH_BANDS).select(
         F.col("id").cast("int").alias("b")
@@ -753,7 +758,7 @@ def substring_dup_pairs_df(docs: DataFrame, k: int = WINNOW_K,
     Fingerprints are persisted: the guard frequency and both equi-join
     sides are separately-pruned consumers, and without the cache each
     re-runs the winnowing Arrow kernel over the whole corpus."""
-    fps = winnow_fingerprints_df(docs, k, w).persist()
+    fps = winnow_fingerprints_df(docs, k, w).transform(_cached)
     keep = fps.groupBy("fp").agg(F.count("*").alias("df_")).filter(
         F.col("df_") <= cap
     ).select("fp")

@@ -87,13 +87,21 @@ def weighted_sample_df(docs: DataFrame, weight_col, k: int,
     window over the stratum shuffle.  At 100 TB with huge strata, bound
     the sort by pre-pruning with an approximate per-stratum threshold
     (approxQuantile of the key at ~k/stratum_rows) before the window --
-    the key column itself makes that a one-pass filter."""
+    the key column itself makes that a one-pass filter.
+
+    Precondition: ``weight_col`` > 0 (A-ES is undefined otherwise — a zero
+    weight divides by zero and a negative weight inverts the key order);
+    callers derive weights as count+1 style positives.  NULLS LAST is
+    pinned on both window keys (repo hard rule: Spark ASC defaults NULLS
+    FIRST, DuckDB NULLS LAST) so a NULL key — e.g. a NULL weight slipping
+    through — ranks identically on both engines instead of silently
+    winning the sample on one of them."""
     keyed = docs.withColumn(
         "es_key", F.round(es_key(F.col(key_col), weight_col, salt), 10)
     )
     from pyspark.sql import Window
     w = (Window.partitionBy(stratum_col)
-         .orderBy(F.asc("es_key"), F.asc(key_col)))
+         .orderBy(F.asc_nulls_last("es_key"), F.asc_nulls_last(key_col)))
     return (
         keyed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

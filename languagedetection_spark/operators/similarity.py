@@ -385,9 +385,9 @@ def quantized_kmeans_df(emb: DataFrame, k: int = 8, iters: int = 2,
 
     Scale shape: assignment is map-only (broadcast-literal centroids);
     the only shuffles are the k*dim-bounded centroid-update aggregates
-    (map-side combined) and the one-off init rank over the ID COLUMN
-    only (at extreme scale swap in a sampled seeding -- documented
-    deviation would then need an oracle regen).  The per-round driver
+    (map-side combined) and the one-off init rank, computed as a
+    distributed two-pass zipWithIndex rank (_strided_seed_rows) -- no
+    single-partition sort anywhere in training.  The per-round driver
     collect is model-sized (k x dim longs), never corpus-proportional.
     Empty clusters drop out (the standard Lloyd degeneracy),
     identically on both engines."""
@@ -416,18 +416,68 @@ def kmeans_train_centroids(v: DataFrame, k: int,
         v.unpersist(blocking=False)
 
 
+def _strided_seed_rows(v: DataFrame, k: int, _plan_out: list | None = None):
+    """Rows at vec_id ranks {0, stride, 2*stride, ...} with stride = n // k,
+    computed WITHOUT a global single-partition sort.
+
+    The r3 audit flagged the old ``row_number().over(W.orderBy("vec_id"))``
+    here as a 100x-scale funnel: Spark executes an un-partitioned window as
+    ONE task holding the entire vector table.  This is the zipWithIndex
+    two-pass rank instead: range-partition by vec_id (persisted so both
+    passes see identical partitions), per-partition counts -> cumulative
+    offsets (a P-row collect), then rank = offset(pid) + local row_number
+    within pid.  Range partitions are ascending disjoint vec_id intervals,
+    so the ranks are bit-identical to the global sort while every task holds
+    only ~n/P rows.  Works on sparse vec_ids (no density assumption).
+
+    Returns (stride, rows) where each row carries vec_id, qv, rn.
+    ``_plan_out``: test hook — receives the rank stage's physical plan so
+    tests/test_plans.py can pin the absence of a SinglePartition exchange.
+    """
+    sc = v.sparkSession.sparkContext
+    p = max(sc.defaultParallelism, 1)
+    part = (
+        v.select("vec_id", "qv")
+        .repartitionByRange(p, F.asc("vec_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = sorted(
+            (r["pid"], r["n"])
+            for r in part.groupBy("pid").agg(F.count("*").alias("n"))
+            .collect()
+        )
+        n = sum(c for _, c in counts)
+        stride = max(n // k, 1)
+        offs: list = []
+        acc = 0
+        for pid, c in counts:
+            offs.extend([F.lit(pid), F.lit(acc).cast("long")])
+            acc += c
+        if not offs:          # empty input: no seeds, same as before
+            return stride, []
+        off_map = F.create_map(*offs)
+        wl = W.partitionBy("pid").orderBy("vec_id")
+        ranked = (
+            part.withColumn(
+                "rn",
+                off_map[F.col("pid")] + F.row_number().over(wl) - 1)
+            .filter((F.col("rn") % stride == 0)
+                    & (F.col("rn") / stride < k))
+            .select("vec_id", "qv", "rn")
+        )
+        if _plan_out is not None:
+            _plan_out.append(
+                ranked._jdf.queryExecution().executedPlan().toString())
+        return stride, ranked.collect()
+    finally:
+        part.unpersist(blocking=False)
+
+
 def _kmeans_train_inner(v: DataFrame, k: int,
                         iters: int) -> list[tuple[int, list[int]]]:
-    n = v.count()
-    stride = max(n // k, 1)
-    wn = W.orderBy("vec_id")
-    init = (
-        v.select("vec_id", "qv",
-                 (F.row_number().over(wn) - 1).alias("rn"))
-        .filter((F.col("rn") % stride == 0)
-                & (F.col("rn") / stride < k))
-        .collect()
-    )
+    stride, init = _strided_seed_rows(v, k)
     cents = [(int(r["rn"] // stride), list(r["qv"])) for r in init]
     for _ in range(iters):
         a = _kmeans_assign(v, cents)
@@ -542,16 +592,8 @@ def pq_train_codebooks(v: DataFrame, m_sub: int, ds: int,
 
 def _pq_train_inner(v: DataFrame, m_sub: int, ds: int,
                     k_codes: int, iters: int):
-    n = v.count()
-    stride = max(n // k_codes, 1)
-    wn = W.orderBy("vec_id")
-    init = (
-        v.select("vec_id", "qv",
-                 (F.row_number().over(wn) - 1).alias("rn"))
-        .filter((F.col("rn") % stride == 0)
-                & (F.col("rn") / stride < k_codes))
-        .collect()
-    )
+    # seeding via the scale-safe two-pass rank (see _strided_seed_rows)
+    stride, init = _strided_seed_rows(v, k_codes)
     cents = {
         m: [(int(r["rn"] // stride),
              [int(x) for x in r["qv"][m * ds:(m + 1) * ds]])

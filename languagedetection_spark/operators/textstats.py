@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.cache_registry import cache as _cached
+
 FP_MOD = (1 << 61) - 1
 FP_BASE = 131
 
@@ -138,7 +140,7 @@ def code_switch_df(docs: DataFrame, labeled: DataFrame,
             F.floor(F.col("pos") / seg_tokens).cast("int").alias("seg"),
             "word",
         )
-        .persist()
+        .transform(_cached)
     )
     seg_counts = seg_words.groupBy("doc_id", "seg").agg(
         F.count("*").alias("n")
@@ -158,7 +160,7 @@ def code_switch_df(docs: DataFrame, labeled: DataFrame,
         scored.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select("doc_id", "seg", F.col("language").alias("seg_lang"))
-        .persist()
+        .transform(_cached)
     )
     lang_counts = seg_pred.groupBy("doc_id", "seg_lang").agg(
         F.count("*").alias("c")

@@ -102,6 +102,7 @@ EDGE_SAFE_QUERIES = (
     "nb_quality_score", "lm_bigram_ppl", "source_overlap",
     "sample_weighted", "bm25_topk", "heavy_hitters",
     "code_switch_segments", "source_pagerank",
+    "tokenizer_fertility", "padding_waste", "doc_novelty",
 )
 
 
@@ -269,6 +270,24 @@ def test_oracle_edge_relational(name, spark, edge_tpch_dir):
     d_cols, d_rows = _norm([d[0] for d in res.description], res.fetchall())
     assert s_cols == d_cols, name
     assert s_rows == d_rows, name
+
+
+def test_oracle_result_types_no_hugeint(duck):
+    """Registry-wide guard (VERDICT r3 ask #1): no oracle's result schema may
+    contain HUGEINT or DECIMAL.  DuckDB widens a bare integer ``sum()`` to
+    int128 while Spark emits int64, and the external driver hashes TYPED
+    values — so such a column hash-mismatches even when every numeric value
+    is equal (the r3 ``doc_char_entropy`` / ``inverted_index`` adjudication).
+    Fix at the source: ``CAST(sum(...) AS BIGINT)`` in the oracle SQL."""
+    bad = {}
+    for name, sql in sorted(entry_mod.oracle_sql().items()):
+        types = [str(t).upper() for t in duck.sql(sql).types]
+        offending = sorted(
+            {t for t in types if "HUGEINT" in t or "DECIMAL" in t}
+        )
+        if offending:
+            bad[name] = offending
+    assert not bad, f"oracles emitting HUGEINT/DECIMAL columns: {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
@@ -478,3 +497,19 @@ def test_importance_weights_rank_in_domain_first(spark):
     )
     best = max(per_src, key=lambda r: r["m"])
     assert best["source"] == "src0"
+
+
+def test_query_caches_are_scoped(spark):
+    """VERDICT r3 "what's wrong" #4: entry-query persists must not
+    accumulate across the driver's one-session full-registry replay.  The
+    queries() wrappers release the previous query's registered caches when
+    the next one is built, so at most one query's caches are ever live."""
+    from languagedetection_spark.plans import cache_registry as cr
+
+    qs = entry_mod.queries()
+    cr.release_all()
+    for name in ("importance_weights", "dedup_ngram_jaccard", "bm25_topk"):
+        qs[name](spark, SF_DIR).collect()
+    assert cr.live_count() > 0          # bm25 registers its posting caches
+    qs["q1_pricing_summary"](spark, SF_DIR).collect()
+    assert cr.live_count() == 0         # released on next query; q1 adds none

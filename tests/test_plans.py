@@ -300,3 +300,55 @@ def test_segment_dedup_no_cross_joins(spark):
     plan = _plan(segment_dedup(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_strided_seed_rank_distributed_and_exact(spark):
+    """r3 VERDICT "what's wrong" #3: k-means/PQ seed ranking used a global
+    row_number() window, which Spark executes as ONE task holding the whole
+    vector table.  Pin the replacement two-pass rank on both axes:
+
+    * plan: no SinglePartition exchange anywhere in the rank stage;
+    * value: seeds bit-identical to the global-window formulation on a
+      SPARSE, shuffled vec_id fixture (the helper must not assume dense ids).
+    """
+    import random
+
+    from pyspark.sql import Window as W
+
+    from languagedetection_spark.operators.similarity import (
+        _strided_seed_rows,
+    )
+
+    rows = [
+        (i * 7 + (i % 3), [i % 5, (i * 2) % 7, i % 11, 1])
+        for i in range(101)
+    ]
+    rnd = random.Random(13)
+    rnd.shuffle(rows)
+    v = spark.createDataFrame(
+        rows, "vec_id long, qv array<bigint>"
+    ).repartition(7)
+
+    plans: list = []
+    stride, seeds = _strided_seed_rows(v, 8, _plan_out=plans)
+    assert plans and "SinglePartition" not in plans[0], plans[0]
+
+    wn = W.orderBy("vec_id")
+    want = (
+        v.select("vec_id", "qv", (F.row_number().over(wn) - 1).alias("rn"))
+        .filter((F.col("rn") % stride == 0) & (F.col("rn") / stride < 8))
+        .collect()
+    )
+    got = sorted((r["rn"], r["vec_id"], list(r["qv"])) for r in seeds)
+    exp = sorted((r["rn"], r["vec_id"], list(r["qv"])) for r in want)
+    assert got == exp
+    assert len(got) == 8
+
+
+def test_sequence_packing_no_single_partition(spark):
+    """The packing prefix scan is hierarchical (bucketed by doc_id range +
+    broadcast offsets), never a corpus-wide single-task window sort."""
+    from languagedetection_spark.entry_queries import sequence_packing
+
+    plan = _plan(sequence_packing(spark, SF))
+    assert "SinglePartition" not in plan, plan
