@@ -18,6 +18,10 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# BASELINE.md content from this marker on is hand-maintained and preserved
+# across regenerations (the generator only owns the headline section above it).
+HAND_MARKER = "## Secondary pair"
+
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -100,7 +104,17 @@ def main() -> None:
               "efficiency": round(eff, 3)}
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Everything below the marker in BASELINE.md is hand-maintained
+    # (shuffle-heavy secondary pairs, re-measurement log) — preserve it.
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(md_path):
+        with open(md_path) as f:
+            prev = f.read()
+        idx = prev.find(HAND_MARKER)
+        if idx >= 0:
+            tail = prev[idx:]
+    with open(md_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N → 4N)
 
 The north rule requires ≥ 0.8 throughput scaling efficiency from N to 4N
@@ -137,7 +151,10 @@ proportional to cluster size except the split count.
 
 Reproduce: `python bench_scaling.py` (env `BENCH_SCALING_N` sets N,
 `BENCH_SCALING_CONVS` scales the input).
+
 """)
+        if tail:
+            f.write(tail)
 
 
 if __name__ == "__main__":

@@ -422,57 +422,58 @@ def _strided_seed_rows(v: DataFrame, k: int, _plan_out: list | None = None):
 
     The r3 audit flagged the old ``row_number().over(W.orderBy("vec_id"))``
     here as a 100x-scale funnel: Spark executes an un-partitioned window as
-    ONE task holding the entire vector table.  This is the zipWithIndex
-    two-pass rank instead: range-partition by vec_id (persisted so both
-    passes see identical partitions), per-partition counts -> cumulative
-    offsets (a P-row collect), then rank = offset(pid) + local row_number
-    within pid.  Range partitions are ascending disjoint vec_id intervals,
-    so the ranks are bit-identical to the global sort while every task holds
-    only ~n/P rows.  Works on sparse vec_ids (no density assumption).
+    ONE task holding the entire vector table.  This is a hierarchical rank
+    instead, bucketed by a PURE monotone function of vec_id (fixed-width id
+    ranges from a min/max pass — deterministic, so no persist or range
+    shuffle is needed to keep the passes consistent): per-bucket counts ->
+    broadcast cumulative offsets (a B-row collect), then rank =
+    offset(bucket) + local row_number within bucket.  Buckets are ascending
+    disjoint vec_id intervals, so ranks are bit-identical to the global
+    sort while every task holds only one bucket.  Works on sparse vec_ids
+    (no density assumption; a clustered id range only skews bucket sizes,
+    never correctness).  Callers persist v across training passes, so the
+    extra min/max + count aggregates are cached map-side scans.
 
     Returns (stride, rows) where each row carries vec_id, qv, rn.
     ``_plan_out``: test hook — receives the rank stage's physical plan so
     tests/test_plans.py can pin the absence of a SinglePartition exchange.
     """
     sc = v.sparkSession.sparkContext
-    p = max(sc.defaultParallelism, 1)
-    part = (
-        v.select("vec_id", "qv")
-        .repartitionByRange(p, F.asc("vec_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    bounds = v.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:          # empty input: no seeds, same as before
+        return 1, []
+    n_buckets = max(sc.defaultParallelism, 1)
+    width = max((int(bounds["hi"]) - int(bounds["lo"])) // n_buckets + 1, 1)
+    bucket = F.floor(
+        (F.col("vec_id") - F.lit(int(bounds["lo"]))) / width
+    ).cast("long")
+    bv = v.select("vec_id", "qv", bucket.alias("bkt"))
+    counts = sorted(
+        (r["bkt"], r["n"])
+        for r in bv.groupBy("bkt").agg(F.count("*").alias("n")).collect()
     )
-    try:
-        counts = sorted(
-            (r["pid"], r["n"])
-            for r in part.groupBy("pid").agg(F.count("*").alias("n"))
-            .collect()
-        )
-        n = sum(c for _, c in counts)
-        stride = max(n // k, 1)
-        offs: list = []
-        acc = 0
-        for pid, c in counts:
-            offs.extend([F.lit(pid), F.lit(acc).cast("long")])
-            acc += c
-        if not offs:          # empty input: no seeds, same as before
-            return stride, []
-        off_map = F.create_map(*offs)
-        wl = W.partitionBy("pid").orderBy("vec_id")
-        ranked = (
-            part.withColumn(
-                "rn",
-                off_map[F.col("pid")] + F.row_number().over(wl) - 1)
-            .filter((F.col("rn") % stride == 0)
-                    & (F.col("rn") / stride < k))
-            .select("vec_id", "qv", "rn")
-        )
-        if _plan_out is not None:
-            _plan_out.append(
-                ranked._jdf.queryExecution().executedPlan().toString())
-        return stride, ranked.collect()
-    finally:
-        part.unpersist(blocking=False)
+    n = sum(c for _, c in counts)
+    stride = max(n // k, 1)
+    offs: list = []
+    acc = 0
+    for b, c in counts:
+        offs.extend([F.lit(b), F.lit(acc).cast("long")])
+        acc += c
+    off_map = F.create_map(*offs)
+    wl = W.partitionBy("bkt").orderBy("vec_id")
+    ranked = (
+        bv.withColumn(
+            "rn", off_map[F.col("bkt")] + F.row_number().over(wl) - 1)
+        .filter((F.col("rn") % stride == 0)
+                & (F.col("rn") / stride < k))
+        .select("vec_id", "qv", "rn")
+    )
+    if _plan_out is not None:
+        _plan_out.append(
+            ranked._jdf.queryExecution().executedPlan().toString())
+    return stride, ranked.collect()
 
 
 def _kmeans_train_inner(v: DataFrame, k: int,
