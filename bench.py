@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "padding_waste",
     "doc_novelty",
+    "ppl_buckets",
+    "dedup_cluster_stats",
+    "ann_hard_negatives",
+    "token_budget_select",
+    "user_retention_cohorts",
+    "funnel_conversion",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved
@@ -93,10 +99,10 @@ assert R2_HEADLINE_SET[16] == "ann_sq_topk"  # the frozen r2 boundary
 
 # the r3 cohort (the full 50-query set as benched in r3) frozen the same
 # way, so r4+ totals stay comparable to BOTH prior rounds (VERDICT r3 ask #8)
-R3_HEADLINE_SET = BENCH_QUERIES[:50] + [
+R3_HEADLINE_SET = BENCH_QUERIES[:49] + [
     "quality_pipeline_cold", "quality_pipeline",
 ]
-assert R3_HEADLINE_SET[49] == "source_pagerank"  # the frozen r3 boundary
+assert R3_HEADLINE_SET[48] == "source_pagerank"  # the frozen r3 boundary
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "50000"))
 TRANSCRIPT_TURNS_AVG = 16  # ~775k turns + skewed head; big enough that the

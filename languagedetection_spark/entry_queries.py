@@ -5404,6 +5404,501 @@ GROUP BY s.doc_id
 """
 
 
+def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): per
+    language, rank documents by unigram-LM perplexity and cut the corpus
+    into the best third ('head'), middle, and worst third ('tail') — the
+    standard quality-tiering that decides which slice trains the model
+    and which gets down-weighted.
+
+    Scale shape: tertile boundaries are NOT a per-language global sort.
+    Per-doc ppl lands on a 4-dp grid, so the boundary computation runs
+    over the (lang, ppl) VALUE histogram — a grid-bounded aggregate —
+    with the cumulative window partitioned by lang over distinct grid
+    values, not documents; bucket assignment is then a broadcast join of
+    the |langs|-row boundary table (the same histogram-not-sort pattern
+    as the de-funneled seed ranking).  Counts compare as exact integers
+    (3*cum >= n), no interpolation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter("word <> ''")
+    wc = toks.groupBy("word").agg(F.count("*").alias("c"))
+    tot = wc.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    p = wc.crossJoin(F.broadcast(tot)).select(
+        "word",
+        ((F.col("c") + 1) / (F.col("n") + F.col("v")).cast("double"))
+        .alias("pw"),
+    )
+    dw = toks.groupBy("doc_id", "lang", "word").agg(
+        F.count("*").alias("cdw")
+    )
+    # three consumers below (histogram, per-lang totals, final assignment)
+    ppl = (
+        dw.join(p, "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cdw").alias("n_tokens"),
+            F.round(
+                F.exp(-F.sum(F.col("cdw") * F.log("pw")) / F.sum("cdw")), 4
+            ).alias("ppl"),
+        )
+        .transform(_cached)
+    )
+    hist = ppl.groupBy("lang", "ppl").agg(F.count("*").alias("nv"))
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy(F.asc_nulls_last("ppl"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("nv").over(wcum))
+    n_l = ppl.groupBy("lang").agg(F.count("*").alias("n"))
+    b = (
+        cum.join(n_l, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n"), F.col("ppl"))
+            ).alias("b1"),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("ppl"))
+            ).alias("b2"),
+        )
+    )
+    return (
+        ppl.join(F.broadcast(b), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("ppl") <= F.col("b1"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("b2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+    )
+
+
+PPL_BUCKETS_SQL = """
+WITH toks AS (
+    SELECT d.doc_id, d.lang, t.word
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) t
+    WHERE t.word <> ''
+),
+wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM wc),
+p AS (
+    SELECT word, (c + 1) / CAST(tot.n + tot.v AS DOUBLE) AS pw
+    FROM wc, tot
+),
+dw AS (
+    SELECT doc_id, lang, word, count(*) AS cdw
+    FROM toks GROUP BY doc_id, lang, word
+),
+ppl AS (
+    SELECT dw.doc_id, dw.lang, CAST(sum(cdw) AS BIGINT) AS n_tokens,
+           round(exp(-sum(cdw * ln(pw)) / sum(cdw)), 4) AS ppl
+    FROM dw JOIN p USING (word)
+    GROUP BY dw.doc_id, dw.lang
+),
+hist AS (SELECT lang, ppl, count(*) AS nv FROM ppl GROUP BY lang, ppl),
+cum AS (
+    SELECT lang, ppl,
+           sum(nv) OVER (PARTITION BY lang ORDER BY ppl NULLS LAST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM hist
+),
+nl AS (SELECT lang, count(*) AS n FROM ppl GROUP BY lang),
+b AS (
+    SELECT c.lang,
+           min(CASE WHEN c.cum * 3 >= nl.n THEN c.ppl END) AS b1,
+           min(CASE WHEN c.cum * 3 >= 2 * nl.n THEN c.ppl END) AS b2
+    FROM cum c JOIN nl USING (lang) GROUP BY c.lang
+)
+SELECT p.lang,
+       CASE WHEN p.ppl <= b.b1 THEN 'head'
+            WHEN p.ppl <= b.b2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       min(p.ppl) AS min_ppl,
+       max(p.ppl) AS max_ppl
+FROM ppl p JOIN b USING (lang)
+GROUP BY 1, 2
+"""
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size profile: how many exact-duplicate clusters
+    exist at each size, how many documents they hold, and the surplus
+    (docs an exact dedup would remove).  The monitoring readout that runs
+    BEFORE committing to a dedup pass — a corpus whose surplus is 0.1 %
+    doesn't need one; a crawler bug shows up here as a giant cluster.
+
+    Scale shape: the cluster key is md5(text) so the shuffle rows are
+    constant-width (never the document body); both aggregates are
+    map-side combined and the second is keyed by cluster SIZE — output
+    bounded by the largest crowd, not the corpus."""
+    d = _t(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    sizes = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("sz") - 1) * F.col("n_clusters")).alias("surplus_docs"),
+        )
+    )
+
+
+DEDUP_CLUSTER_STATS_SQL = """
+WITH sizes AS (
+    SELECT md5(text) AS h, count(*) AS sz
+    FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+)
+SELECT sz AS cluster_size,
+       count(*) AS n_clusters,
+       sz * count(*) AS n_docs,
+       (sz - 1) * count(*) AS surplus_docs
+FROM sizes GROUP BY sz
+"""
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR/Contriever
+    recipe): for each query vector, the top-3 most-similar vectors whose
+    label DIFFERS — the near-miss impostors that make the best negatives.
+    Same broadcast-query brute-force scan as embedding_topk with the
+    label-mismatch predicate pushed into the join.
+
+    Scale shape: the query side is broadcast, the big side is a map-only
+    scan (no data x data join); per-query top-3 is a bounded window over
+    |queries| x |corpus| candidate rows, and at real scale the scan
+    composes with the IVF/PQ operators in operators/similarity.py for
+    sublinear candidate generation."""
+    from .operators.similarity import valid_embeddings
+
+    e = valid_embeddings(
+        _t(spark, sf_dir, "embeddings"), "embedding"
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    e = e.withColumn("nrm", norm).transform(_cached)
+    q = e.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = e.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("nrm") * F.col("qnrm"))).alias("sim_raw")
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            sim,
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 3")
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            F.round("sim_raw", 4).alias("sim"), "rank",
+        )
+    )
+
+
+ANN_HARD_NEGATIVES_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+q AS (SELECT vec_id AS query_id, label AS query_label, emb AS qemb
+      FROM e WHERE vec_id < 20),
+pairs AS (
+    SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+           e.label AS neighbor_label,
+           list_cosine_similarity(q.qemb, e.emb) AS sim_raw
+    FROM q, e WHERE e.label <> q.query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(sim_raw, 4) AS sim, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 3
+"""
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data selection (the DCLM/Dolma 'fill the token
+    budget with the best documents' step): per source, rank documents by
+    a lexical-diversity score (distinct/total token ratio) and keep the
+    top-ranked until a 2000-token budget fills.  Emits the kept set with
+    each doc's score and the running total that admitted it.
+
+    Scale shape: per-doc scoring is one token-keyed aggregate; the
+    cumulative admission is a window PARTITIONED BY source (thousands of
+    sources in a real crawl — bounded skew, never a global sort).  If one
+    source dwarfs the rest, the scale-safe form is the score-grid
+    histogram threshold (cumulative tokens per rounded score, map-only
+    filter above the cut, window only inside the single boundary score) —
+    the same histogram-not-sort pattern ppl_buckets uses."""
+    budget = 2000
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter("w <> ''")
+    per = toks.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    scored = per.withColumn(
+        "score",
+        F.round(F.col("n_distinct") / F.col("n_tokens").cast("double"), 4),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc_nulls_last("score"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("source", "doc_id", "score", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SELECT_SQL = """
+WITH toks AS (
+    SELECT d.doc_id, d.source, t.w
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) t
+    WHERE t.w <> ''
+),
+scored AS (
+    SELECT doc_id, source,
+           count(*) AS n_tokens,
+           round(count(DISTINCT w) / CAST(count(*) AS DOUBLE), 4) AS score
+    FROM toks GROUP BY doc_id, source
+),
+ranked AS (
+    SELECT source, doc_id, score, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY score DESC NULLS LAST, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM scored
+)
+SELECT source, doc_id, score, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= 2000
+"""
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users grouped by
+    the ISO week of their first event; for each (cohort, week offset) the
+    count of cohort users still active and the retention rate — the
+    standard product-analytics triangle, here the engagement readout for
+    transcript/telemetry sources.
+
+    Scale shape: one user-keyed distinct + min aggregate, one user-keyed
+    equi-join back (no fan-out: activity rows are already distinct per
+    (user, week)), then a cohort-keyed aggregate whose output is bounded
+    by weeks x offsets.  No windows at all."""
+    ev = _t(spark, sf_dir, "events").filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    act = (
+        # to_date: DuckDB's date_trunc('week', TIMESTAMP) returns DATE,
+        # Spark's returns TIMESTAMP — pin DATE on both sides
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        )
+        .distinct()
+        .transform(_cached)
+    )
+    first = act.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    ).transform(_cached)
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_n")
+    )
+    ret = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            # both weeks are date_trunc'd Mondays, so the day gap is an
+            # exact multiple of 7; floor() pins the double->int edge anyway
+            # (Spark cast truncates, DuckDB cast rounds half-even)
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(cohort_sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_n",
+        F.round(
+            F.col("n_active") / F.col("cohort_n").cast("double"), 4
+        ).alias("retention"),
+    )
+
+
+USER_RETENTION_COHORTS_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+first AS (
+    SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_week, count(*) AS cohort_n FROM first GROUP BY cohort_week
+),
+ret AS (
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, a.week) / 7) AS BIGINT)
+               AS week_offset,
+           count(*) AS n_active
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_n,
+       round(r.n_active / CAST(s.cohort_n AS DOUBLE), 4) AS retention
+FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase, by
+    first-event times: a user advances a stage only if their first click
+    is at or after their first view, and their first purchase at or after
+    that click (the standard firsts-ordered funnel simplification — a
+    click that happens only before any view does not count).  One summary
+    row: stage populations + stage-to-stage conversion rates.
+
+    Scale shape: one user-keyed conditional-min aggregate (map-side
+    combined) and a single global rollup of booleans — no windows, no
+    joins; linear in events."""
+    ev = _t(spark, sf_dir, "events").filter(
+        "user_id IS NOT NULL AND ts IS NOT NULL"
+        " AND event_type IN ('view', 'click', 'purchase')"
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") >= F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") >= F.col("t_click"))
+    # clicked/purchased are NULL (not false) when the prior stage exists
+    # but this one doesn't: sum skips them on both engines, and the
+    # coalesce pins the all-NULL column to 0 exactly as the oracle does
+    agg = firsts.agg(
+        F.count("*").alias("n_users"),
+        F.coalesce(F.sum(viewed.cast("long")), F.lit(0)).alias("n_viewed"),
+        F.coalesce(F.sum(clicked.cast("long")), F.lit(0)).alias("n_clicked"),
+        F.coalesce(F.sum(purchased.cast("long")), F.lit(0)).alias(
+            "n_purchased"
+        ),
+    )
+    return agg.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.when(
+            F.col("n_viewed") > 0,
+            F.round(F.col("n_clicked") / F.col("n_viewed").cast("double"), 4),
+        ).alias("view_to_click"),
+        F.when(
+            F.col("n_clicked") > 0,
+            F.round(
+                F.col("n_purchased") / F.col("n_clicked").cast("double"), 4
+            ),
+        ).alias("click_to_purchase"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IN ('view', 'click', 'purchase')
+    GROUP BY user_id
+),
+flags AS (
+    SELECT t_view IS NOT NULL AS viewed,
+           t_view IS NOT NULL AND t_click >= t_view AS clicked,
+           t_view IS NOT NULL AND t_click >= t_view
+               AND t_purchase >= t_click AS purchased
+    FROM firsts
+),
+agg AS (
+    SELECT count(*) AS n_users,
+           CAST(coalesce(sum(CASE WHEN viewed THEN 1 END), 0) AS BIGINT)
+               AS n_viewed,
+           CAST(coalesce(sum(CASE WHEN clicked THEN 1 END), 0) AS BIGINT)
+               AS n_clicked,
+           CAST(coalesce(sum(CASE WHEN purchased THEN 1 END), 0) AS BIGINT)
+               AS n_purchased
+    FROM flags
+)
+SELECT n_users, n_viewed, n_clicked, n_purchased,
+       CASE WHEN n_viewed > 0
+            THEN round(n_clicked / CAST(n_viewed AS DOUBLE), 4) END
+           AS view_to_click,
+       CASE WHEN n_clicked > 0
+            THEN round(n_purchased / CAST(n_clicked AS DOUBLE), 4) END
+           AS click_to_purchase
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5444,6 +5939,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": tokenizer_fertility,
     "padding_waste": padding_waste,
     "doc_novelty": doc_novelty,
+    "ppl_buckets": ppl_buckets,
+    "dedup_cluster_stats": dedup_cluster_stats,
+    "ann_hard_negatives": ann_hard_negatives,
+    "token_budget_select": token_budget_select,
+    "user_retention_cohorts": user_retention_cohorts,
+    "funnel_conversion": funnel_conversion,
     # --- r2-era entries rotated back in for fresh driver evidence ---
     "accuracy_metrics": accuracy_metrics,
     "dedup_exact": dedup_exact,
@@ -5465,15 +5966,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_quality_report": conv_quality_report,
     "ann_sq_topk": ann_sq_topk,
     "axiom_distribution": axiom_distribution,
+    # --- outside the window this round (the 6 new-query slots displaced
+    #     these r2-era entries -> r5 rotation): r3-green entries + 9
+    #     low-risk relational queries (green r1+r2, untouched);
+    #     all remain covered by the repo's parametrized oracle tests ---
     "confusion_matrix": confusion_matrix,
     "approx_aggregates": approx_aggregates,
     "doc_fingerprint": doc_fingerprint,
     "holdout_split": holdout_split,
     "langid_hashed_ngram": langid_hashed_ngram,
     "embedding_topk": embedding_topk,
-    # --- outside the window this round: r3-green entries + 9 low-risk
-    #     relational queries (green r1+r2, untouched) -> r5 rotation;
-    #     all remain covered by the repo's parametrized oracle tests ---
     "revenue_by_nation": revenue_by_nation,
     "supplier_running_total": supplier_running_total,
     "order_argmax_per_customer": order_argmax_per_customer,
@@ -5527,6 +6029,12 @@ ORACLE_SQL: dict[str, str] = {
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "padding_waste": PADDING_WASTE_SQL,
     "doc_novelty": DOC_NOVELTY_SQL,
+    "ppl_buckets": PPL_BUCKETS_SQL,
+    "dedup_cluster_stats": DEDUP_CLUSTER_STATS_SQL,
+    "ann_hard_negatives": ANN_HARD_NEGATIVES_SQL,
+    "token_budget_select": TOKEN_BUDGET_SELECT_SQL,
+    "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "q1_pricing_summary": Q1_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "order_argmax_per_customer": ORDER_ARGMAX_SQL,

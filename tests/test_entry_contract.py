@@ -103,6 +103,7 @@ EDGE_SAFE_QUERIES = (
     "sample_weighted", "bm25_topk", "heavy_hitters",
     "code_switch_segments", "source_pagerank",
     "tokenizer_fertility", "padding_waste", "doc_novelty",
+    "ppl_buckets", "dedup_cluster_stats", "token_budget_select",
 )
 
 
@@ -164,6 +165,7 @@ EDGE_EMBEDDING_QUERIES = (
     "ann_pq_rerank",
     "dedup_embedding_cosine",
     "label_centroids", "embedding_kmeans", "semdedup_pairs",
+    "ann_hard_negatives",
 )
 
 
@@ -220,6 +222,7 @@ EDGE_RELATIONAL_QUERIES = (
     "asof_last_purchase", "range_join_tiers", "percentile_stats",
     "ntile_value_quartiles", "full_outer_nation_counts", "events_hourly",
     "events_sessionize", "approx_aggregates", "session_window_events",
+    "user_retention_cohorts", "funnel_conversion",
 )
 
 _EDGE_NULLABLE = {
