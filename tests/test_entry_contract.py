@@ -516,3 +516,31 @@ def test_query_caches_are_scoped(spark):
     assert cr.live_count() > 0          # bm25 registers its posting caches
     qs["q1_pricing_summary"](spark, SF_DIR).collect()
     assert cr.live_count() == 0         # released on next query; q1 adds none
+
+
+def test_dedup_cluster_stats_planted_crowds(spark, tmp_path):
+    """The real fixtures have almost no exact duplicates below sf0.1, so
+    the histogram query is trivially one row there; this pins its actual
+    math on planted crowds: 5 copies of A + 3 of B + 4 unique + a NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = (["dup a text"] * 5 + ["dup b text"] * 3
+             + [f"unique {i}" for i in range(4)] + [None])
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "text": texts,
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["surplus_docs"])
+        for r in entry_mod.queries()["dedup_cluster_stats"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # NULL text is excluded entirely; surplus = what exact dedup removes
+    assert rows == {1: (4, 4, 0), 3: (1, 3, 2), 5: (1, 5, 4)}
