@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "user_retention_cohorts",
     "funnel_conversion",
+    "vocab_drift_psi",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

@@ -5899,6 +5899,115 @@ FROM agg
 """
 
 
+def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor over the vocabulary: per
+    language, PSI between the even-doc_id slice (reference) and the
+    odd-doc_id slice (current) over the same 1024 md5 hashed-unigram
+    buckets DSIR uses.  PSI > 0.25 is the classic retrain/alert
+    threshold — the pipeline-monitoring readout that catches a crawler
+    or upstream-source change between ingestion batches.
+
+    Smoothing is add-one over the FULL 1024-bucket domain (empty buckets
+    still contribute because slice sizes differ), so the domain is
+    completed by exploding a literal 0..1023 range onto the |langs|-row
+    totals table — never a corpus-sized op.
+
+    Scale shape: one (lang x 1024)-bounded histogram aggregate with
+    map-side combine; everything after is model-sized.  ln ulp drift is
+    absorbed by rounding the summed PSI to 4 dp."""
+    B = 1024
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter("w <> ''")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % B
+    ).alias("b")
+    # hist feeds the totals AND the domain-completion join
+    hist = (
+        toks.select("lang", "is_ref", bucket)
+        .groupBy("lang", "b")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("cref"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("ccur"),
+        )
+        .transform(_cached)
+    )
+    totals = hist.groupBy("lang").agg(
+        F.sum("cref").alias("nref"), F.sum("ccur").alias("ncur")
+    )
+    domain = totals.select(
+        "lang",
+        "nref",
+        "ncur",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(B - 1).cast("long"))
+        ).alias("b"),
+    )
+    full = domain.join(hist, ["lang", "b"], "left")
+    p = (F.coalesce(F.col("cref"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("nref") + F.lit(B)
+    )
+    q = (F.coalesce(F.col("ccur"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("ncur") + F.lit(B)
+    )
+    return (
+        full.groupBy("lang", "nref", "ncur")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"))
+        .select(
+            "lang",
+            F.col("nref").alias("n_ref_tokens"),
+            F.col("ncur").alias("n_cur_tokens"),
+            "psi",
+        )
+    )
+
+
+VOCAB_DRIFT_PSI_SQL = """
+WITH toks AS (
+    SELECT d.lang, (d.doc_id % 2 = 0) AS is_ref, t.w
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) t
+    WHERE t.w <> ''
+),
+tb AS (
+    SELECT lang, is_ref,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+    FROM toks
+),
+hist AS (
+    SELECT lang, b,
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cref,
+           CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS ccur
+    FROM tb GROUP BY lang, b
+),
+totals AS (
+    SELECT lang, CAST(sum(cref) AS BIGINT) AS nref,
+           CAST(sum(ccur) AS BIGINT) AS ncur
+    FROM hist GROUP BY lang
+),
+dm AS (
+    SELECT t.lang, t.nref, t.ncur, g.b
+    FROM totals t,
+         LATERAL (SELECT unnest(generate_series(0, 1023)) AS b) g
+),
+terms AS (
+    SELECT dm.lang, dm.nref, dm.ncur,
+           ((coalesce(h.cref, 0) + 1.0) / (dm.nref + 1024)
+            - (coalesce(h.ccur, 0) + 1.0) / (dm.ncur + 1024))
+           * ln(((coalesce(h.cref, 0) + 1.0) / (dm.nref + 1024))
+                / ((coalesce(h.ccur, 0) + 1.0) / (dm.ncur + 1024))) AS term
+    FROM dm LEFT JOIN hist h ON h.lang = dm.lang AND h.b = dm.b
+)
+SELECT lang, nref AS n_ref_tokens, ncur AS n_cur_tokens,
+       round(sum(term), 4) AS psi
+FROM terms GROUP BY lang, nref, ncur
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5945,6 +6054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_select": token_budget_select,
     "user_retention_cohorts": user_retention_cohorts,
     "funnel_conversion": funnel_conversion,
+    "vocab_drift_psi": vocab_drift_psi,
     # --- r2-era entries rotated back in for fresh driver evidence ---
     "accuracy_metrics": accuracy_metrics,
     "dedup_exact": dedup_exact,
@@ -6035,6 +6145,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_budget_select": TOKEN_BUDGET_SELECT_SQL,
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "vocab_drift_psi": VOCAB_DRIFT_PSI_SQL,
     "q1_pricing_summary": Q1_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "order_argmax_per_customer": ORDER_ARGMAX_SQL,
