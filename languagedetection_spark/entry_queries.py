@@ -5947,7 +5947,9 @@ def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.lit(B - 1).cast("long"))
         ).alias("b"),
     )
-    full = domain.join(hist, ["lang", "b"], "left")
+    # hist is (|langs| x 1024)-bounded by construction — broadcast it
+    # (derived DF: Catalyst has no stats to discover that on its own)
+    full = domain.join(F.broadcast(hist), ["lang", "b"], "left")
     p = (F.coalesce(F.col("cref"), F.lit(0)) + F.lit(1.0)) / (
         F.col("nref") + F.lit(B)
     )

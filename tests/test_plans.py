@@ -352,3 +352,50 @@ def test_sequence_packing_no_single_partition(spark):
 
     plan = _plan(sequence_packing(spark, SF))
     assert "SinglePartition" not in plan, plan
+
+
+def test_r4_query_plans_scale_shapes(spark):
+    """The r4 batch's load-bearing plan shapes:
+
+    * ann_hard_negatives -- the query side must broadcast into the
+      inequality join (BroadcastNestedLoopJoin), never a CartesianProduct
+      or a sort-merge of the corpus against itself;
+    * vocab_drift_psi -- the (|langs| x 1024)-bounded histogram must reach
+      the domain-completion join as a BroadcastExchange (derived DF:
+      Catalyst has no stats, the operator pins it) and nothing sort-merges;
+    * token_budget_select -- the admission window partitions by source:
+      no SinglePartition exchange anywhere (a global-sort window here is
+      exactly the funnel the r3 verdict flagged in sequence_packing);
+    * user_retention_cohorts -- pure aggregate+join plan, zero windows;
+    * funnel_conversion -- one user-keyed agg + the 1-row global rollup:
+      at most two exchanges, with map-side partial aggregation.
+    """
+    from languagedetection_spark.entry_queries import (
+        ann_hard_negatives,
+        funnel_conversion,
+        token_budget_select,
+        user_retention_cohorts,
+        vocab_drift_psi,
+    )
+
+    plan = _plan(ann_hard_negatives(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    df = vocab_drift_psi(spark, SF)
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    spark.catalog.clearCache()
+
+    plan = _plan(token_budget_select(spark, SF))
+    assert "SinglePartition" not in plan, plan
+
+    plan = _plan(user_retention_cohorts(spark, SF))
+    assert "Window" not in plan, plan
+
+    plan = _plan(funnel_conversion(spark, SF))
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial" in plan.lower(), plan
