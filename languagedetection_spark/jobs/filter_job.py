@@ -59,11 +59,18 @@ def main(argv: list[str] | None = None) -> int:
                         "completed per-turn output")
     p.add_argument("--fail-after", type=int, default=None,
                    help="TESTING: raise after N buckets to exercise resume")
-    p.add_argument("--dedup", choices=["exact"], default=None,
+    p.add_argument("--dedup", choices=["exact", "minhash"], default=None,
                    help="corpus-wide dedup stage before scoring: 'exact' "
                         "keeps the (conv_id, turn_idx)-minimal turn per "
-                        "distinct text (batch mode only; the streaming "
-                        "mode's analogue is stateful dropDuplicates)")
+                        "distinct text; 'minhash' keeps it per NEAR-dup "
+                        "cluster (LSH candidates, exact-Jaccard verify at "
+                        "--dedup-threshold, connected components) -- a "
+                        "strict superset of 'exact' (batch mode only; the "
+                        "streaming mode's analogue is stateful "
+                        "dropDuplicates)")
+    p.add_argument("--dedup-threshold", type=float, default=0.8,
+                   help="verified-Jaccard threshold for --dedup minhash "
+                        "(default 0.8)")
     p.add_argument("--streaming", action="store_true",
                    help="consume --input as a file stream (availableNow "
                         "trigger): parquet sink + streaming checkpoint "
@@ -143,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
         from ..operators.dedup import dedup_exact_keep_first
 
         df = dedup_exact_keep_first(df)
+    elif args.dedup == "minhash":
+        from ..operators.dedup import dedup_minhash_keep_first
+
+        df = dedup_minhash_keep_first(df, threshold=args.dedup_threshold)
 
     count = {"n": 0}
 

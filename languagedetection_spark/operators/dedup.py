@@ -804,3 +804,73 @@ def dedup_exact_keep_first(df: DataFrame,
         )
         .drop(keepers["__k"]).drop("__k", "__ka", "__kb")
     )
+
+
+def dedup_minhash_keep_first(df: DataFrame,
+                             key_cols: tuple[str, str] = ("conv_id",
+                                                          "turn_idx"),
+                             text_col: str = "text",
+                             threshold: float = 0.8,
+                             hash_family: str = "md5") -> DataFrame:
+    """Corpus-wide NEAR-dedup keeping one deterministic row per duplicate
+    CLUSTER: MinHash-LSH candidates -> exact-Jaccard verify -> connected
+    components -> the (conv_id, turn_idx)-minimal turn per cluster.  Built
+    for the filter_job ``--dedup minhash`` stage; a strict superset of the
+    exact stage (identical texts share every shingle, so they always land
+    in one cluster).
+
+    Scale shape: the pair pipeline is the guarded LSH operator (band
+    equi-join + frequency cap -- never all-pairs); components iterate over
+    the PAIR list only; and the dedup universe is DISTINCT texts keyed by
+    the lower 60 bits of their md5 (the signature kernel's Arrow schema
+    requires an int64 doc id), so turn multiplicity never inflates the
+    LSH input.  A 60-bit collision merges two unrelated texts into one
+    cluster and drops one of them -- odds ~N^2/2^61, i.e. ~4e5 wrongly
+    dropped turns per 1e12 DISTINCT texts (error rate 4e-7, far below the
+    LSH's own false-positive band) -- documented, not defended.  The
+    final keeper election is one min-of-struct aggregate per cluster --
+    partially aggregable, skew-immune (a viral text's million copies
+    combine map-side).
+
+    ``hash_family="xxhash64"`` swaps in the JVM-native signature kernel
+    for Python-worker-free deployments (same contract, different LSH
+    randomness -- see dedup_minhash_lsh_df)."""
+    a, b = key_cols
+    k = F.conv(
+        F.substring(
+            F.md5(F.coalesce(F.col(text_col), F.lit("\x00null"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # the distinct-text universe: consumed by signatures, shingle verify,
+    # and the component node list
+    texts = (
+        df.select(k.alias("doc_id"), F.col(text_col).alias("text"))
+        .distinct()
+        .transform(_cached)
+    )
+    pairs = dedup_minhash_lsh_df(texts, threshold=threshold,
+                                 hash_family=hash_family)
+    comp = dedup_components_df(texts.select("doc_id"), pairs)
+    turns = df.withColumn("__k", k)
+    clustered = turns.join(
+        comp.select(F.col("doc_id").alias("__k"), "canonical_id"), "__k"
+    )
+    keepers = (
+        clustered.select("canonical_id", F.struct(a, b).alias("__kt"))
+        .groupBy("canonical_id")
+        .agg(F.min("__kt").alias("__keep"))
+        .select(F.col("canonical_id").alias("__kc"),
+                F.col(f"__keep.{a}").alias("__ka"),
+                F.col(f"__keep.{b}").alias("__kb"))
+    )
+    return (
+        clustered.join(
+            keepers,
+            (clustered["canonical_id"] == keepers["__kc"])
+            & (clustered[a] == keepers["__ka"])
+            & (clustered[b] == keepers["__kb"]),
+        )
+        .drop("__k", "canonical_id", "__kc", "__ka", "__kb")
+    )

@@ -352,3 +352,30 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     assert not missing, f"false negatives: {missing}"
     low = [i for i in exact if bloom[i] < exact[i]]
     assert not low, f"bloom hit count below exact overlap: {low}"
+
+
+def test_minhash_keep_first_clusters_near_and_exact(spark):
+    """The --dedup minhash stage: exact copies AND near-dups (one word
+    changed) collapse into one cluster keeping the (conv_id, turn_idx)-
+    minimal turn; unrelated and NULL texts survive as singletons.  The
+    md5-based signatures are deterministic, so this planted fixture's
+    candidacy is a fixed fact, not a probabilistic one."""
+    from languagedetection_spark.operators.dedup import (
+        dedup_minhash_keep_first,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    near = base.rsplit(" ", 1)[0] + " zz"     # J = 17/19 on 3-shingles
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [("c1", 0, base), ("c2", 3, near), ("c2", 1, base),
+            ("c3", 0, uniq), ("c4", 5, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+    kept = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in dedup_minhash_keep_first(df, threshold=0.8).collect()
+    )
+    assert kept == [("c1", 0), ("c3", 0), ("c4", 5)]
+    # schema passes through untouched (scoring runs on the survivors)
+    out_cols = dedup_minhash_keep_first(df, threshold=0.8).columns
+    assert out_cols == ["conv_id", "turn_idx", "text"]

@@ -531,3 +531,50 @@ def test_filter_job_rejects_dedup_with_streaming(tmp_path):
               "--checkpoint", str(tmp_path / "c"), "--dedup", "exact",
               "--streaming"])
     assert exc.value.code == 2
+
+
+def test_filter_job_dedup_minhash_stage(spark, tmp_path):
+    """--dedup minhash collapses near-dup clusters (not just exact copies)
+    before scoring, keeping the minimal (conv_id, turn_idx) per cluster."""
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"w{i}" for i in range(20))
+    near = base.rsplit(" ", 1)[0] + " zz"        # near-dup of base
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        ("c1", 0, "user", base, None),
+        ("c2", 1, "user", near, None),           # near-dup -> dropped
+        ("c2", 2, "asst", base, None),           # exact copy -> dropped
+        ("c3", 0, "user", uniq, None),
+    ]
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    tbl = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": pa.array([r[4] for r in rows], pa.string()),
+        "ts": pa.array([ts] * len(rows), pa.timestamp("us", tz="UTC")),
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    out = subprocess.run(
+        [sys.executable, "-m", "languagedetection_spark.jobs.filter_job",
+         "--input", inp, "--output", str(tmp_path / "out"),
+         "--checkpoint", str(tmp_path / "ckpt"), "--dedup", "minhash",
+         "--buckets", "2"],
+        capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = duckdb.execute(
+        f"SELECT conv_id, turn_idx FROM "
+        f"'{tmp_path}/out/bucket=*/*.parquet' ORDER BY conv_id"
+    ).fetchall()
+    assert res == [("c1", 0), ("c3", 0)]
