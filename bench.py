@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "user_retention_cohorts",
     "funnel_conversion",
     "vocab_drift_psi",
+    "ngram_coverage_curve",
+    "dedup_edit_distance",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

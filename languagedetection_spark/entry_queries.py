@@ -6010,6 +6010,151 @@ FROM terms GROUP BY lang, nref, ncur
 """
 
 
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-sizing curve: the share of all corpus tokens covered by
+    the top-k most frequent words, at k = 100 / 1000 / 10000 — the
+    standard readout for choosing a tokenizer vocab size (the knee of
+    this curve is where bigger vocabularies stop paying).
+
+    Scale shape: the only corpus-sized op is the word-count aggregate
+    (map-side combined); the ranking window runs over the VOCABULARY
+    (the same vocab-bounded global window the Zipf spectrum uses — fine
+    at 100 TB because |vocab| ≪ |corpus|), and the k fan-out is a
+    3-element literal explode."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        "w <> ''"
+    )
+    wc = toks.groupBy("w").agg(F.count("*").alias("c")).transform(_cached)
+    tot = wc.agg(F.sum("c").alias("n"))
+    ranked = wc.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), F.asc("w")))
+        .alias("rk"),
+    )
+    ks = F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000)))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("c", "rk", "n", ks.alias("k"))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("k", "n")
+        .agg(
+            F.count("*").alias("vocab_size_used"),
+            F.sum("c").alias("covered_tokens"),
+        )
+        .select(
+            "k",
+            "vocab_size_used",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("n").cast("double"), 4
+            ).alias("coverage"),
+        )
+    )
+
+
+NGRAM_COVERAGE_CURVE_SQL = """
+WITH toks AS (
+    SELECT t.w
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) t
+    WHERE t.w <> ''
+),
+wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM wc),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM wc
+),
+ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT ks.k,
+       count(*) AS vocab_size_used,
+       CAST(sum(c) AS BIGINT) AS covered_tokens,
+       round(sum(c) / CAST(tot.n AS DOUBLE), 4) AS coverage
+FROM ranked, tot, ks
+WHERE rk <= ks.k
+GROUP BY ks.k, tot.n
+"""
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the fuzzy-string family the
+    shingle/MinHash/SimHash operators don't cover (they miss single-char
+    typo clones of SHORT texts, where one changed character rewrites
+    every shingle).  Candidates = docs sharing a 12-char prefix with
+    length within ±4 (crowd-guarded like every other candidate join);
+    verify = exact Levenshtein ≤ 3, computed JVM-side on both engines'
+    identical classic DP.
+
+    Scale shape: prefix-keyed equi-join (never all-pairs), per-key crowd
+    cap 256 mirrored as QUALIFY in the oracle, banded O(len x 3) verify
+    only on surviving candidates.  Known blind spot of prefix blocking:
+    an edit INSIDE the first 12 chars shifts the blocking key and the
+    pair is never a candidate (pinned in the planted test) — the
+    production recall lever is a second pass keyed on a suffix or
+    mid-string block, the same multi-table trick the sign-LSH ANN uses."""
+    d = _t(spark, sf_dir, "documents").filter(
+        "text IS NOT NULL AND length(text) >= 12"
+    )
+    keyed = d.select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, 12).alias("pk"),
+        F.length("text").alias("ln"),
+    )
+    guarded = keyed.withColumn(
+        "__f", F.count("*").over(W.partitionBy("pk"))
+    ).filter(F.col("__f") <= 256)
+    a = guarded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        "pk",
+        F.col("ln").alias("la"),
+    )
+    b = guarded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("pk").alias("pkb"),  # renamed: both sides share lineage
+        F.col("ln").alias("lb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("pk") == F.col("pkb"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 4),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            # threshold form: banded O(len x 3) DP returning -1 above the
+            # cutoff — measured 15.6 s -> sub-second at sf0.1 vs the full
+            # O(len^2) matrix; the kept values are the exact distances
+            F.levenshtein("ta", "tb", threshold=3)
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+DEDUP_EDIT_DISTANCE_SQL = """
+WITH base AS (
+    SELECT doc_id, text, substr(text, 1, 12) AS pk, length(text) AS ln
+    FROM documents WHERE text IS NOT NULL AND length(text) >= 12
+),
+guarded AS (
+    SELECT * FROM base
+    QUALIFY count(*) OVER (PARTITION BY pk) <= 256
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM guarded a JOIN guarded b
+  ON a.pk = b.pk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
+WHERE levenshtein(a.text, b.text) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6057,6 +6202,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_retention_cohorts": user_retention_cohorts,
     "funnel_conversion": funnel_conversion,
     "vocab_drift_psi": vocab_drift_psi,
+    "ngram_coverage_curve": ngram_coverage_curve,
+    "dedup_edit_distance": dedup_edit_distance,
     # --- r2-era entries rotated back in for fresh driver evidence ---
     "accuracy_metrics": accuracy_metrics,
     "dedup_exact": dedup_exact,
@@ -6148,6 +6295,8 @@ ORACLE_SQL: dict[str, str] = {
     "user_retention_cohorts": USER_RETENTION_COHORTS_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "vocab_drift_psi": VOCAB_DRIFT_PSI_SQL,
+    "ngram_coverage_curve": NGRAM_COVERAGE_CURVE_SQL,
+    "dedup_edit_distance": DEDUP_EDIT_DISTANCE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "order_argmax_per_customer": ORDER_ARGMAX_SQL,

@@ -379,3 +379,49 @@ def test_minhash_keep_first_clusters_near_and_exact(spark):
     # schema passes through untouched (scoring runs on the survivors)
     out_cols = dedup_minhash_keep_first(df, threshold=0.8).columns
     assert out_cols == ["conv_id", "turn_idx", "text"]
+
+
+def test_edit_distance_catches_short_typo_clones(spark, tmp_path):
+    """The motivation for the edit-distance family: a 1-char typo clone of
+    a SHORT text rewrites every 3-word shingle (Jaccard 0 on word
+    shingles), so the shingle/MinHash families cannot see it; Levenshtein
+    does.  Also pins the threshold form's exact distances and the
+    prefix-key candidate bound (different-prefix docs are never paired)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # 5 words -> 3 shingles, ALL containing the middle word: a 1-char
+        # typo there rewrites every shingle (Jaccard 0, not even a
+        # candidate), and it sits past char 12 so prefix blocking pairs them
+        (0, "gather around midnight by docks"),
+        (1, "gather around mixnight by docks"),
+        (2, "completely unrelated sentence here"),
+        (3, "short text!!"),                      # >= 12 chars, unique
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "text": [r[1] for r in rows],
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    from languagedetection_spark.entry_queries import (
+        dedup_edit_distance,
+        dedup_ngram_jaccard,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in dedup_edit_distance(spark, str(tmp_path)).collect()
+    }
+    assert got == {(0, 1): 1}
+    # and the shingle family really is blind to the pair: zero shared
+    # shingles means it is not even a CANDIDATE there
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) not in jac

@@ -104,7 +104,7 @@ EDGE_SAFE_QUERIES = (
     "code_switch_segments", "source_pagerank",
     "tokenizer_fertility", "padding_waste", "doc_novelty",
     "ppl_buckets", "dedup_cluster_stats", "token_budget_select",
-    "vocab_drift_psi",
+    "vocab_drift_psi", "ngram_coverage_curve", "dedup_edit_distance",
 )
 
 
