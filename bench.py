@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "vocab_drift_psi",
     "ngram_coverage_curve",
     "dedup_edit_distance",
+    "revenue_range_window",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

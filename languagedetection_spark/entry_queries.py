@@ -6155,6 +6155,49 @@ WHERE levenshtein(a.text, b.text) <= 3
 """
 
 
+def revenue_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-day revenue per customer via a RANGE window
+    frame — the value-based frame class (peers included, frame bounded by
+    the ORDER-BY VALUE not the row offset) that the ROWS-frame queries
+    (running totals, cumsum) don't exercise.  Order key = integer days
+    since epoch, so the frame arithmetic is exact on both engines
+    (Spark's interval-range and DuckDB's differ in type plumbing; the
+    day-index form is engine-portable).
+
+    Scale shape: window partitioned by customer — bounded skew, no
+    global sort.  NULL order dates are filtered (a RANGE frame over a
+    NULL key is an engine-specific peer-group edge; the NULL-laden edge
+    fixture exercises the filter)."""
+    o = _t(spark, sf_dir, "orders").filter("o_orderdate IS NOT NULL")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+REVENUE_RANGE_WINDOW_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER w, 2) AS rev_7d,
+       count(*) OVER w AS n_7d
+FROM orders
+WHERE o_orderdate IS NOT NULL
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6204,6 +6247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_drift_psi": vocab_drift_psi,
     "ngram_coverage_curve": ngram_coverage_curve,
     "dedup_edit_distance": dedup_edit_distance,
+    "revenue_range_window": revenue_range_window,
     # --- r2-era entries rotated back in for fresh driver evidence ---
     "accuracy_metrics": accuracy_metrics,
     "dedup_exact": dedup_exact,
@@ -6297,6 +6341,7 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_drift_psi": VOCAB_DRIFT_PSI_SQL,
     "ngram_coverage_curve": NGRAM_COVERAGE_CURVE_SQL,
     "dedup_edit_distance": DEDUP_EDIT_DISTANCE_SQL,
+    "revenue_range_window": REVENUE_RANGE_WINDOW_SQL,
     "q1_pricing_summary": Q1_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "order_argmax_per_customer": ORDER_ARGMAX_SQL,

@@ -223,7 +223,7 @@ EDGE_RELATIONAL_QUERIES = (
     "asof_last_purchase", "range_join_tiers", "percentile_stats",
     "ntile_value_quartiles", "full_outer_nation_counts", "events_hourly",
     "events_sessionize", "approx_aggregates", "session_window_events",
-    "user_retention_cohorts", "funnel_conversion",
+    "user_retention_cohorts", "funnel_conversion", "revenue_range_window",
 )
 
 _EDGE_NULLABLE = {
