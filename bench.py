@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "ngram_coverage_curve",
     "dedup_edit_distance",
     "revenue_range_window",
+    "grouping_sets_revenue",
+    "label_knn_agreement",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

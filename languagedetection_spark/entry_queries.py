@@ -6198,6 +6198,177 @@ WINDOW w AS (
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-lattice form that rollup
+    (prefix lattice) and cube (full lattice) don't cover: the
+    (returnflag x linestatus) detail cells plus the linestatus-only
+    marginals, and nothing else.  grouping() indicator columns keep
+    aggregated-out cells distinct from genuine NULL group keys (the
+    NULL-laden edge fixture nulls l_returnflag), so no coalesce
+    conflation.
+
+    Scale shape: Expand + one hash aggregate, map-side combined — the
+    same shape as rollup/cube, output bounded by the value lattice."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("rf_aggregated"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "rf_aggregated", "sum_price", "n"
+        )
+    )
+
+
+GROUPING_SETS_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS rf_aggregated,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+"""
+
+
+def label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-consistency eval: leave-one-out 3-NN majority
+    vote on a deterministic 1-in-10 eval sample, reported per label as an
+    agreement rate — the standard cheap probe for whether an embedding
+    column actually separates its labels (run before trusting SemDeDup /
+    clustering decisions built on it).
+
+    Vote tie-break is pinned: neighbors ranked (cosine desc, neighbor_id
+    asc), predicted label = max (votes, best-rank-first) — fully
+    deterministic on both engines.
+
+    Scale shape: eval sample is broadcast against a map-only corpus scan
+    (the same shape as the ANN family — no data x data join); votes and
+    the final per-label rollup are label-bounded aggregates."""
+    from .operators.similarity import valid_embeddings
+
+    e = valid_embeddings(
+        _t(spark, sf_dir, "embeddings"), "embedding"
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    e = e.withColumn("nrm", norm).transform(_cached)
+    q = e.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("emb", "qemb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (dot / (F.col("nrm") * F.col("qnrm"))).alias("sim_raw")
+    wr = W.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    top3 = (
+        pairs.select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nb_label"),
+            sim,
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter("rank <= 3")
+    )
+    votes = top3.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count("*").alias("votes"), F.min("rank").alias("best_rank")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("best_rank"), F.asc("nb_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter("vr = 1")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nb_label").alias("pred_label"),
+        )
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_agree",
+            F.round(
+                F.col("n_agree") / F.col("n_eval").cast("double"), 4
+            ).alias("agreement"),
+        )
+    )
+
+
+LABEL_KNN_AGREEMENT_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+q AS (SELECT vec_id AS query_id, label AS true_label, emb AS qemb
+      FROM e WHERE vec_id % 10 = 0),
+pairs AS (
+    SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+           e.label AS nb_label,
+           list_cosine_similarity(q.qemb, e.emb) AS sim_raw
+    FROM q, e WHERE e.vec_id <> q.query_id
+),
+top3 AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim_raw DESC, neighbor_id)
+            AS rank
+        FROM pairs
+    ) WHERE rank <= 3
+),
+votes AS (
+    SELECT query_id, true_label, nb_label,
+           count(*) AS votes, min(rank) AS best_rank
+    FROM top3 GROUP BY query_id, true_label, nb_label
+),
+pred AS (
+    SELECT query_id, true_label, nb_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, best_rank,
+                                              nb_label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+)
+SELECT true_label AS label,
+       count(*) AS n_eval,
+       CAST(coalesce(sum(CASE WHEN pred_label = true_label THEN 1 END), 0)
+            AS BIGINT) AS n_agree,
+       round(coalesce(sum(CASE WHEN pred_label = true_label THEN 1 END), 0)
+             / CAST(count(*) AS DOUBLE), 4) AS agreement
+FROM pred GROUP BY true_label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6248,6 +6419,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_coverage_curve": ngram_coverage_curve,
     "dedup_edit_distance": dedup_edit_distance,
     "revenue_range_window": revenue_range_window,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "label_knn_agreement": label_knn_agreement,
     # --- r2-era entries rotated back in for fresh driver evidence ---
     "accuracy_metrics": accuracy_metrics,
     "dedup_exact": dedup_exact,
@@ -6342,6 +6515,8 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_coverage_curve": NGRAM_COVERAGE_CURVE_SQL,
     "dedup_edit_distance": DEDUP_EDIT_DISTANCE_SQL,
     "revenue_range_window": REVENUE_RANGE_WINDOW_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_REVENUE_SQL,
+    "label_knn_agreement": LABEL_KNN_AGREEMENT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "order_argmax_per_customer": ORDER_ARGMAX_SQL,

@@ -166,7 +166,7 @@ EDGE_EMBEDDING_QUERIES = (
     "ann_pq_rerank",
     "dedup_embedding_cosine",
     "label_centroids", "embedding_kmeans", "semdedup_pairs",
-    "ann_hard_negatives",
+    "ann_hard_negatives", "label_knn_agreement",
 )
 
 
@@ -224,6 +224,7 @@ EDGE_RELATIONAL_QUERIES = (
     "ntile_value_quartiles", "full_outer_nation_counts", "events_hourly",
     "events_sessionize", "approx_aggregates", "session_window_events",
     "user_retention_cohorts", "funnel_conversion", "revenue_range_window",
+    "grouping_sets_revenue",
 )
 
 _EDGE_NULLABLE = {
