@@ -399,3 +399,31 @@ def test_r4_query_plans_scale_shapes(spark):
     plan = _plan(funnel_conversion(spark, SF))
     assert plan.count("Exchange") <= 2, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_r4_batch5_query_plans(spark):
+    """Later r4 additions:
+
+    * revenue_range_window -- the RANGE frame partitions by customer,
+      never a SinglePartition global sort;
+    * grouping_sets_revenue -- Expand + map-side partial aggregation
+      (the rollup/cube shape, lattice-bounded output);
+    * label_knn_agreement -- eval sample broadcast into the inequality
+      join, never cartesian/SMJ."""
+    from languagedetection_spark.entry_queries import (
+        grouping_sets_revenue,
+        label_knn_agreement,
+        revenue_range_window,
+    )
+
+    plan = _plan(revenue_range_window(spark, SF))
+    assert "SinglePartition" not in plan, plan
+
+    plan = _plan(grouping_sets_revenue(spark, SF))
+    assert "Expand" in plan, plan
+    assert "partial" in plan.lower(), plan
+
+    plan = _plan(label_knn_agreement(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
