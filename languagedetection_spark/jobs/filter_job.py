@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup-threshold", type=float, default=0.8,
                    help="verified-Jaccard threshold for --dedup minhash "
                         "(default 0.8)")
+    p.add_argument("--dedup-hash-family", choices=["md5", "xxhash64"],
+                   default="md5",
+                   help="MinHash signature kernel for --dedup minhash: "
+                        "'md5' (oracle-portable Arrow kernel, default) or "
+                        "'xxhash64' (JVM-native, Python-worker-free; "
+                        "same verify contract, different LSH randomness)")
     p.add_argument("--streaming", action="store_true",
                    help="consume --input as a file stream (availableNow "
                         "trigger): parquet sink + streaming checkpoint "
@@ -153,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.dedup == "minhash":
         from ..operators.dedup import dedup_minhash_keep_first
 
-        df = dedup_minhash_keep_first(df, threshold=args.dedup_threshold)
+        df = dedup_minhash_keep_first(df, threshold=args.dedup_threshold,
+                                      hash_family=args.dedup_hash_family)
 
     count = {"n": 0}
 

@@ -354,7 +354,11 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     assert not low, f"bloom hit count below exact overlap: {low}"
 
 
-def test_minhash_keep_first_clusters_near_and_exact(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("family", ["md5", "xxhash64"])
+def test_minhash_keep_first_clusters_near_and_exact(spark, family):
     """The --dedup minhash stage: exact copies AND near-dups (one word
     changed) collapse into one cluster keeping the (conv_id, turn_idx)-
     minimal turn; unrelated and NULL texts survive as singletons.  The
@@ -373,7 +377,9 @@ def test_minhash_keep_first_clusters_near_and_exact(spark):
         rows, "conv_id string, turn_idx int, text string")
     kept = sorted(
         (r["conv_id"], r["turn_idx"])
-        for r in dedup_minhash_keep_first(df, threshold=0.8).collect()
+        for r in dedup_minhash_keep_first(
+            df, threshold=0.8, hash_family=family
+        ).collect()
     )
     assert kept == [("c1", 0), ("c3", 0), ("c4", 5)]
     # schema passes through untouched (scoring runs on the survivors)
