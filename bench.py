@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "revenue_range_window",
     "grouping_sets_revenue",
     "label_knn_agreement",
+    "lsh_band_sweep",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

@@ -6369,6 +6369,143 @@ FROM pred GROUP BY true_label
 """
 
 
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-tuning readout: the SAME 12-hash MinHash signature
+    set banded three ways — (2 bands x 6 rows), (3 x 4, the production
+    config), (6 x 2) — reporting candidate pairs, verified pairs
+    (exact Jaccard >= 0.5), and precision per config.  This is the
+    S-curve table a data engineer reads before fixing b x r for a new
+    corpus: fewer, taller bands -> high precision / low recall; many
+    short bands -> the reverse.
+
+    Scale shape: the signature kernel runs ONCE (persisted) and each
+    config re-bands it map-only; every candidate join carries the same
+    crowd guard (cap 256) as the production operator; outputs are three
+    scalar rows."""
+    from .operators.dedup import (
+        _band_freq_guard,
+        _verify_jaccard,
+        minhash_signatures_df,
+        shingle_df,
+    )
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = shingle_df(corpus).transform(_cached)
+    sig = (
+        minhash_signatures_df(corpus, 12)
+        .filter(F.size("sig") > 0)
+        .transform(_cached)
+    )
+    per_config = []
+    for bands, rws in [(2, 6), (3, 4), (6, 2)]:
+        band_ids = spark.range(bands).select(
+            F.col("id").cast("int").alias("b")
+        )
+        banded = sig.crossJoin(F.broadcast(band_ids)).select(
+            "doc_id",
+            "b",
+            F.expr(
+                f"concat_ws('_', slice(sig, b * {rws} + 1, {rws}))"
+            ).alias("key"),
+        )
+        banded = _band_freq_guard(banded, ["b", "key"], 256)
+        left = banded.select("b", "key", F.col("doc_id").alias("doc_a"))
+        right = banded.select("b", "key", F.col("doc_id").alias("doc_b"))
+        pairs = (
+            left.join(right, ["b", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        ver = _verify_jaccard(pairs, sh, 0.5)
+        per_config.append(
+            pairs.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(ver.agg(F.count("*").alias("n_verified")))
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rws).alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.round(
+                        F.col("n_verified")
+                        / F.col("n_candidates").cast("double"),
+                        4,
+                    ),
+                ).alias("lsh_precision"),
+            )
+        )
+    return per_config[0].unionAll(per_config[1]).unionAll(per_config[2])
+
+
+def _lsh_sweep_config_sql(bands: int, rws: int) -> str:
+    """One config's CTE block + result row for LSH_BAND_SWEEP_SQL; the
+    minh/shingles/sizes CTEs are shared across configs (same recipe the
+    proven DEDUP_MINHASH_SQL uses)."""
+    tag = f"{bands}x{rws}"
+    return f"""
+banded_{tag} AS (
+    SELECT doc_id, b, key FROM (
+        SELECT doc_id, CAST(i // {rws} AS INT) AS b,
+               string_agg(hmin::VARCHAR, '_' ORDER BY i) AS key
+        FROM minh GROUP BY doc_id, i // {rws}
+    ) QUALIFY count(*) OVER (PARTITION BY b, key) <= 256
+),
+pairs_{tag} AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded_{tag} x JOIN banded_{tag} y
+      ON x.b = y.b AND x.key = y.key
+    WHERE x.doc_id < y.doc_id
+),
+cand_{tag} AS (SELECT count(*) AS nc FROM pairs_{tag}),
+ver_{tag} AS (
+    SELECT count(*) AS nv FROM (
+        SELECT i.doc_a FROM (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM pairs_{tag} p
+            JOIN shingles sa ON sa.doc_id = p.doc_a
+            JOIN shingles sb ON sb.doc_id = p.doc_b
+                 AND sb.shingle = sa.shingle
+            GROUP BY p.doc_a, p.doc_b
+        ) i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
+    )
+)"""
+
+
+_LSH_SWEEP_ROW_SQL = """
+SELECT {bands} AS bands, {rws} AS rows_per_band,
+       nc AS n_candidates, nv AS n_verified,
+       CASE WHEN nc > 0 THEN round(nv / CAST(nc AS DOUBLE), 4) END
+           AS lsh_precision
+FROM cand_{bands}x{rws}, ver_{bands}x{rws}"""
+
+LSH_BAND_SWEEP_SQL = (
+    _NEARDUP_SQL_CTE
+    + """
+, minh AS (
+    SELECT s.doc_id, i.i,
+           min((CAST((1000003 * (i.i + 1)) % 2147483647 AS BIGINT)
+                * CAST(md5_number_lower(s.shingle) % 2147483647 AS BIGINT)
+                + (999983 * i.i + 12345) % 2147483647) % 2147483647) AS hmin
+    FROM shingles s, (SELECT unnest(generate_series(0, 11)) AS i) i
+    GROUP BY s.doc_id, i.i
+),
+"""
+    + ",\n".join(
+        _lsh_sweep_config_sql(b, r) for b, r in [(2, 6), (3, 4), (6, 2)]
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        _LSH_SWEEP_ROW_SQL.format(bands=b, rws=r)
+        for b, r in [(2, 6), (3, 4), (6, 2)]
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6421,6 +6558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_range_window": revenue_range_window,
     "grouping_sets_revenue": grouping_sets_revenue,
     "label_knn_agreement": label_knn_agreement,
+    "lsh_band_sweep": lsh_band_sweep,
     # --- r2-era entries rotated back in for fresh driver evidence ---
     "accuracy_metrics": accuracy_metrics,
     "dedup_exact": dedup_exact,
@@ -6517,6 +6655,7 @@ ORACLE_SQL: dict[str, str] = {
     "revenue_range_window": REVENUE_RANGE_WINDOW_SQL,
     "grouping_sets_revenue": GROUPING_SETS_REVENUE_SQL,
     "label_knn_agreement": LABEL_KNN_AGREEMENT_SQL,
+    "lsh_band_sweep": LSH_BAND_SWEEP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "order_argmax_per_customer": ORDER_ARGMAX_SQL,

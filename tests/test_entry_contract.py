@@ -105,6 +105,7 @@ EDGE_SAFE_QUERIES = (
     "tokenizer_fertility", "padding_waste", "doc_novelty",
     "ppl_buckets", "dedup_cluster_stats", "token_budget_select",
     "vocab_drift_psi", "ngram_coverage_curve", "dedup_edit_distance",
+    "lsh_band_sweep",
 )
 
 
