@@ -104,12 +104,30 @@ R2_HEADLINE_SET = BENCH_QUERIES[:17] + [
 ]
 assert R2_HEADLINE_SET[16] == "ann_sq_topk"  # the frozen r2 boundary
 
-# the r3 cohort (the full 50-query set as benched in r3) frozen the same
-# way, so r4+ totals stay comparable to BOTH prior rounds (VERDICT r3 ask #8)
+# the r3 cohort (the 49 r2+r3 queries, plus the two pipeline runs = 51
+# names) frozen the same way, so r4+ totals stay comparable to BOTH prior
+# rounds (VERDICT r3 ask #8)
 R3_HEADLINE_SET = BENCH_QUERIES[:49] + [
     "quality_pipeline_cold", "quality_pipeline",
 ]
 assert R3_HEADLINE_SET[48] == "source_pagerank"  # the frozen r3 boundary
+
+# the r4 cohort (all 65 queries benched in r4 + the two pipeline runs)
+# frozen for r5+ comparability (VERDICT r4 ask #5)
+R4_HEADLINE_SET = BENCH_QUERIES[:65] + [
+    "quality_pipeline_cold", "quality_pipeline",
+]
+assert R4_HEADLINE_SET[64] == "lsh_band_sweep"  # the frozen r4 boundary
+
+
+def _cohort_total(timings: dict[str, float], cohort: list[str],
+                  label: str) -> float:
+    """Sum a frozen cohort, failing LOUDLY if any member is missing from
+    the timings (ADVICE r4: a renamed/removed query must not silently
+    shrink a like-for-like total)."""
+    missing = [n for n in cohort if n not in timings]
+    assert not missing, f"frozen cohort {label} missing queries: {missing}"
+    return round(sum(timings[n] for n in cohort), 3)
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "50000"))
 TRANSCRIPT_TURNS_AVG = 16  # ~775k turns + skewed head; big enough that the
@@ -259,9 +277,7 @@ def main() -> None:
     timings["quality_pipeline"] = round(pipeline_sec, 3)
 
     total = round(sum(timings.values()), 3)
-    like_for_like = round(
-        sum(v for k, v in timings.items() if k in R2_HEADLINE_SET), 3
-    )
+    like_for_like = _cohort_total(timings, R2_HEADLINE_SET, "r2")
     # The driver captures only the TAIL of stdout (~1.8 KB) and parses the
     # last JSON line; r3's single fat line (50 queries x all passes) overflowed
     # it and the round recorded "parsed": null (VERDICT r3 "what's wrong" #2).
@@ -291,8 +307,11 @@ def main() -> None:
         },
         "n_queries_total": len(timings),
         "total_like_for_like_r2": like_for_like,
-        "total_like_for_like_r3": round(
-            sum(v for k, v in timings.items() if k in R3_HEADLINE_SET), 3
+        "total_like_for_like_r3": _cohort_total(
+            timings, R3_HEADLINE_SET, "r3"
+        ),
+        "total_like_for_like_r4": _cohort_total(
+            timings, R4_HEADLINE_SET, "r4"
         ),
         "sf": sf,
         "turns": n_turns,
