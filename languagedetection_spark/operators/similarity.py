@@ -439,6 +439,11 @@ def _strided_seed_rows(v: DataFrame, k: int, _plan_out: list | None = None):
     tests/test_plans.py can pin the absence of a SinglePartition exchange.
     """
     sc = v.sparkSession.sparkContext
+    # NULL ids cannot be ranked (and a None bucket key crashes the
+    # driver-side sorted() over (bucket, count) tuples — ADVICE r4):
+    # drop them up front; fixture domains pin ids non-null, so this is
+    # an off-domain guard, not a semantic change
+    v = v.filter(F.col("vec_id").isNotNull())
     bounds = v.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
     ).collect()[0]

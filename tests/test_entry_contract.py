@@ -189,13 +189,20 @@ def edge_embeddings_dir(tmp_path_factory):
     bad = rng.normal(size=64).astype("float32").tolist()
     bad[3] = None                    # NULL element
     vecs.append(bad)
+    # two VALID vectors with NULL labels (ADVICE r4): unlabeled rows are
+    # routine in real embedding tables, and NULL labels stress the
+    # engines' diverging NULL semantics (grouping, <> comparisons,
+    # window ORDER BY NULLS placement) across the whole similarity family
+    vecs.append(rng.normal(size=64).astype("float32").tolist())
+    vecs.append(rng.normal(size=64).astype("float32").tolist())
     n = len(vecs)
+    labels = [i % 3 for i in range(n - 2)] + [None, None]
     d = tmp_path_factory.mktemp("edge_emb")
     pq.write_table(
         pa.table({
             "vec_id": pa.array(list(range(n)), pa.int64()),
             "embedding": pa.array(vecs, pa.list_(pa.float32())),
-            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+            "label": pa.array(labels, pa.int32()),
         }),
         str(d / "embeddings.parquet"),
     )
