@@ -391,8 +391,10 @@ def test_edit_distance_catches_short_typo_clones(spark, tmp_path):
     """The motivation for the edit-distance family: a 1-char typo clone of
     a SHORT text rewrites every 3-word shingle (Jaccard 0 on word
     shingles), so the shingle/MinHash families cannot see it; Levenshtein
-    does.  Also pins the threshold form's exact distances and the
-    prefix-key candidate bound (different-prefix docs are never paired)."""
+    does.  Pins the threshold form's exact distances, the planted-clone
+    corpus (char-15 and char-5 substitutions), and that the r5 mid-string
+    second block finds pairs whose edit sits INSIDE the first 12 chars —
+    r4's documented prefix-blocking blind spot."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -404,6 +406,10 @@ def test_edit_distance_catches_short_typo_clones(spark, tmp_path):
         (1, "gather around mixnight by docks"),
         (2, "completely unrelated sentence here"),
         (3, "short text!!"),                      # >= 12 chars, unique
+        # doc_id % 20 = 5 -> planted char-5 typo clone 3000025: its prefix
+        # block DIFFERS (edit at char 5) so only the chars-13..24 block
+        # can pair it with the original
+        (25, "the quick brown fox jumps over it"),
     ]
     pq.write_table(
         pa.table({
@@ -423,7 +429,17 @@ def test_edit_distance_catches_short_typo_clones(spark, tmp_path):
         (r["doc_a"], r["doc_b"]): r["edit_dist"]
         for r in dedup_edit_distance(spark, str(tmp_path)).collect()
     }
-    assert got == {(0, 1): 1}
+    # doc 0 (% 10 = 0) gets a planted char-15 clone 2000000:
+    #   "gather around ~idnight by docks" — distance 1 to doc 0, and
+    #   distance 2 to doc 1 (chars 15 and 17 differ); all three pairs
+    #   share the 12-char prefix.  doc 25's early-typo clone pairs ONLY
+    #   via the mid-string block.
+    assert got == {
+        (0, 1): 1,
+        (0, 2000000): 1,
+        (1, 2000000): 2,
+        (25, 3000025): 1,
+    }
     # and the shingle family really is blind to the pair: zero shared
     # shingles means it is not even a CANDIDATE there
     jac = {
