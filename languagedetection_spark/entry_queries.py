@@ -6625,60 +6625,17 @@ LSH_BAND_SWEEP_SQL = (
 # parametrized contract test (tests/test_entry_contract.py) still covers all
 # 57 names every run regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r4 driver window (50): every query whose behavior changed this
-    #     round, then the stalest r2-era rows (VERDICT r3 ask #6) ---
-    "doc_char_entropy": doc_char_entropy,
-    "inverted_index": inverted_index,
-    "classify_relational": classify_relational,
-    "classify_vectorized": classify_vectorized,
-    "pipeline_keep": pipeline_keep,
-    "vocab_build": vocab_build,
-    "word_cumsum": word_cumsum,
-    "embedding_kmeans": embedding_kmeans,
-    "semdedup_pairs": semdedup_pairs,
-    "ann_pq_topk": ann_pq_topk,
-    "ann_ivfpq_topk": ann_ivfpq_topk,
-    "ann_pq_rerank": ann_pq_rerank,
-    "ann_ivf_topk": ann_ivf_topk,
-    "sequence_packing": sequence_packing,
-    "sample_weighted": sample_weighted,
-    "streaming_hourly": streaming_hourly,
-    "streaming_late_data": streaming_late_data,
-    "streaming_join_attrib": streaming_join_attrib,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enrich": streaming_enrich,
-    "streaming_session": streaming_session,
-    # --- new in round 4 ---
-    "tokenizer_fertility": tokenizer_fertility,
-    "padding_waste": padding_waste,
-    "doc_novelty": doc_novelty,
-    "ppl_buckets": ppl_buckets,
-    "dedup_cluster_stats": dedup_cluster_stats,
-    "ann_hard_negatives": ann_hard_negatives,
-    "token_budget_select": token_budget_select,
-    "user_retention_cohorts": user_retention_cohorts,
-    "funnel_conversion": funnel_conversion,
-    "vocab_drift_psi": vocab_drift_psi,
-    "ngram_coverage_curve": ngram_coverage_curve,
-    "dedup_edit_distance": dedup_edit_distance,
-    "revenue_range_window": revenue_range_window,
-    "grouping_sets_revenue": grouping_sets_revenue,
+    # --- r5 driver window (50), VERDICT r4 ask #1: the 5 queries whose
+    #     behavior/plan changed this round, then ALL 25 r2-era stale rows,
+    #     then the 20 stalest r3-era rows (golden-fold, fastText, float-
+    #     heavy and multimodal oracles first) -- after this round no
+    #     contract row's external evidence predates r3 ---
     "label_knn_agreement": label_knn_agreement,
-    "lsh_band_sweep": lsh_band_sweep,
-    # --- r2-era entries rotated back in for fresh driver evidence ---
-    "accuracy_metrics": accuracy_metrics,
-    "dedup_exact": dedup_exact,
-    "doc_token_stats": doc_token_stats,
-    "doc_quality_score": doc_quality_score,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "pipeline_scrub": pipeline_scrub,
-    "dedup_simhash": dedup_simhash,
-    "dedup_components": dedup_components,
-    "sample_stratified": sample_stratified,
-    "decontaminate": decontaminate,
-    "ann_bucketed_topk": ann_bucketed_topk,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_edit_distance": dedup_edit_distance,
+    "sequence_packing": sequence_packing,
+    "embedding_kmeans": embedding_kmeans,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    # --- the 25 r2-era rotations (complete) ---
     "bpe_token_count": bpe_token_count,
     "langid_heuristic": langid_heuristic,
     "mean_adjust_fold": mean_adjust_fold,
@@ -6686,10 +6643,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_quality_report": conv_quality_report,
     "ann_sq_topk": ann_sq_topk,
     "axiom_distribution": axiom_distribution,
-    # --- outside the window this round (the 6 new-query slots displaced
-    #     these r2-era entries -> r5 rotation): r3-green entries + 9
-    #     low-risk relational queries (green r1+r2, untouched);
-    #     all remain covered by the repo's parametrized oracle tests ---
     "confusion_matrix": confusion_matrix,
     "approx_aggregates": approx_aggregates,
     "doc_fingerprint": doc_fingerprint,
@@ -6699,19 +6652,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": revenue_by_nation,
     "supplier_running_total": supplier_running_total,
     "order_argmax_per_customer": order_argmax_per_customer,
+    "cube_revenue": cube_revenue,
+    "asof_last_purchase": asof_last_purchase,
+    "events_sessionize": events_sessionize,
+    "events_hourly": events_hourly,
+    "semi_anti_customers": semi_anti_customers,
+    "set_ops_parts": set_ops_parts,
+    "rollup_revenue": rollup_revenue,
+    "pivot_events": pivot_events,
+    "json_events": json_events,
+    # --- the 20 stalest r3-era rows ---
     "ann_multitable_topk": ann_multitable_topk,
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
-    "range_join_tiers": range_join_tiers,
-    "percentile_stats": percentile_stats,
-    "ntile_value_quartiles": ntile_value_quartiles,
-    "full_outer_nation_counts": full_outer_nation_counts,
     "tfidf_top_terms": tfidf_top_terms,
-    "normalize_text": normalize_text,
-    "collocations_lift": collocations_lift,
-    "session_window_events": session_window_events,
-    "substring_dup_pairs": substring_dup_pairs,
-    "word_freq_spectrum": word_freq_spectrum,
     "label_centroids": label_centroids,
     "mixture_rates": mixture_rates,
     "doc_repetition": doc_repetition,
@@ -6725,24 +6679,73 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": doc_chunks,
     "nb_quality_score": nb_quality_score,
     "lm_bigram_ppl": lm_bigram_ppl,
-    "source_overlap": source_overlap,
     "bm25_topk": bm25_topk,
     "heavy_hitters": heavy_hitters,
-    "code_switch_segments": code_switch_segments,
     "source_pagerank": source_pagerank,
+    # --- outside the window: 15 low-risk r3-green entries (relational/
+    #     text kernels, untouched) then the 45 r4-green entries; all
+    #     remain covered by the repo's parametrized oracle tests ---
+    "range_join_tiers": range_join_tiers,
+    "percentile_stats": percentile_stats,
+    "ntile_value_quartiles": ntile_value_quartiles,
+    "full_outer_nation_counts": full_outer_nation_counts,
+    "normalize_text": normalize_text,
+    "collocations_lift": collocations_lift,
+    "session_window_events": session_window_events,
+    "substring_dup_pairs": substring_dup_pairs,
+    "word_freq_spectrum": word_freq_spectrum,
+    "source_overlap": source_overlap,
+    "code_switch_segments": code_switch_segments,
     "q1_pricing_summary": q1_pricing_summary,
     "lang_resolution": lang_resolution,
     "tokenize_explode": tokenize_explode,
     "tokenize_per_char": tokenize_per_char,
-    "cube_revenue": cube_revenue,
-    "asof_last_purchase": asof_last_purchase,
-    "events_sessionize": events_sessionize,
-    "events_hourly": events_hourly,
-    "semi_anti_customers": semi_anti_customers,
-    "set_ops_parts": set_ops_parts,
-    "rollup_revenue": rollup_revenue,
-    "pivot_events": pivot_events,
-    "json_events": json_events,
+    # --- r4-green (checked last round, unchanged) ---
+    "doc_char_entropy": doc_char_entropy,
+    "inverted_index": inverted_index,
+    "classify_relational": classify_relational,
+    "classify_vectorized": classify_vectorized,
+    "pipeline_keep": pipeline_keep,
+    "vocab_build": vocab_build,
+    "word_cumsum": word_cumsum,
+    "semdedup_pairs": semdedup_pairs,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank": ann_pq_rerank,
+    "ann_ivf_topk": ann_ivf_topk,
+    "sample_weighted": sample_weighted,
+    "streaming_hourly": streaming_hourly,
+    "streaming_late_data": streaming_late_data,
+    "streaming_join_attrib": streaming_join_attrib,
+    "streaming_dedup": streaming_dedup,
+    "streaming_enrich": streaming_enrich,
+    "streaming_session": streaming_session,
+    "tokenizer_fertility": tokenizer_fertility,
+    "padding_waste": padding_waste,
+    "doc_novelty": doc_novelty,
+    "ppl_buckets": ppl_buckets,
+    "dedup_cluster_stats": dedup_cluster_stats,
+    "ann_hard_negatives": ann_hard_negatives,
+    "token_budget_select": token_budget_select,
+    "user_retention_cohorts": user_retention_cohorts,
+    "funnel_conversion": funnel_conversion,
+    "vocab_drift_psi": vocab_drift_psi,
+    "ngram_coverage_curve": ngram_coverage_curve,
+    "revenue_range_window": revenue_range_window,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "lsh_band_sweep": lsh_band_sweep,
+    "accuracy_metrics": accuracy_metrics,
+    "dedup_exact": dedup_exact,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_score": doc_quality_score,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "pipeline_scrub": pipeline_scrub,
+    "dedup_simhash": dedup_simhash,
+    "dedup_components": dedup_components,
+    "sample_stratified": sample_stratified,
+    "decontaminate": decontaminate,
+    "ann_bucketed_topk": ann_bucketed_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLE_SQL: dict[str, str] = {

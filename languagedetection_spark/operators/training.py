@@ -89,14 +89,26 @@ def _classify_batch_distributed(
 
 
 def axiom_rows_df(labeled: DataFrame, lang_col: str = "language",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", min_df: int = 1) -> DataFrame:
     """Distinct (language, word) axiom rows, computed DISTRIBUTED.
 
     ``Vocabulary.load_labeled`` (Language.scala:45-48) is order-independent
     and idempotent -- every insert writes the same (1.0, True) -- so the
     axiom set is exactly the distinct (language, token) pairs of the
     labeled split and can be built with a map-side-deduped explode +
-    distinct.  Only the aggregated, model-sized result is ever collected."""
+    distinct.  Only the aggregated, model-sized result is ever collected.
+
+    ``min_df`` is the broadcast-budget lever (VERDICT r4 ask #4): the
+    vocabulary grows with DISTINCT labeled words, and at 100 TB of
+    labeled data the collected/broadcast dict is the flagship's one
+    data-dependent memory object (measured ~107 MiB of resident driver
+    dict + ~19 MiB of pickled broadcast per million distinct words --
+    see NOTES.md).  With ``min_df`` > 1 only words appearing in at least
+    that many labeled ROWS survive, flooring out the hapax tail that
+    dominates distinct-word growth (Heaps' law) while the reference
+    semantics stay exact for every retained word.  Default 1 = the
+    reference's exact vocabulary (bug-for-bug; contract queries use
+    this)."""
 
     def run(batches):
         import pandas as pd
@@ -118,9 +130,39 @@ def axiom_rows_df(labeled: DataFrame, lang_col: str = "language",
                         out_w.append(t)
             yield pd.DataFrame({"language": out_l, "word": out_w})
 
-    return labeled.mapInPandas(
-        run, "language string, word string"
-    ).distinct()
+    if min_df <= 1:
+        return labeled.mapInPandas(
+            run, "language string, word string"
+        ).distinct()
+
+    def run_df(batches):
+        """Per-ROW dedup (not per-partition): each emitted (language,
+        word) row is one labeled row containing the word, so the
+        downstream count is the document frequency."""
+        import pandas as pd
+
+        for pdf in batches:
+            out_l: list = []
+            out_w: list = []
+            for lang, text in zip(pdf[lang_col], pdf[text_col]):
+                if lang not in LANGUAGES:
+                    continue
+                for t in set(split_words(
+                    text if isinstance(text, str) else "", lang
+                )):
+                    out_l.append(lang)
+                    out_w.append(t)
+            yield pd.DataFrame({"language": out_l, "word": out_w})
+
+    from pyspark.sql import functions as F
+
+    return (
+        labeled.mapInPandas(run_df, "language string, word string")
+        .groupBy("language", "word")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("language", "word")
+    )
 
 
 def trigram_counts_df(corpus: DataFrame, lang_col: str = "language",
@@ -168,20 +210,25 @@ def trigram_counts_df(corpus: DataFrame, lang_col: str = "language",
     )
 
 
-def build_model_distributed(spark: SparkSession, corpus: DataFrame):
+def build_model_distributed(spark: SparkSession, corpus: DataFrame,
+                            min_df: int = 1):
     """FilterModel from a (language, text) corpus DataFrame WITHOUT ever
     collecting the corpus: axioms via axiom_rows_df (distributed distinct)
     and trigram tables via trigram_counts_df (distributed counts); the
     driver only materializes the model-sized aggregates and applies the
     closed-form smoothing (TrigramModel.train, alpha=1 -- bit-identical:
     integer counts in, one math.log per entry).  This is the scale-safe
-    replacement for FilterModel.from_corpus on unbounded corpora."""
+    replacement for FilterModel.from_corpus on unbounded corpora.
+
+    ``min_df``: vocabulary document-frequency floor -- the broadcast
+    budget lever for very large LABELED corpora (see axiom_rows_df);
+    default 1 keeps the reference's exact vocabulary."""
     import math
 
     from ..functions.kernels import FilterModel
 
     vocab: dict[str, dict[str, float]] = {lang: {} for lang in LANGUAGES}
-    for r in axiom_rows_df(corpus).collect():
+    for r in axiom_rows_df(corpus, min_df=min_df).collect():
         vocab[r["language"]][r["word"]] = 1.0
 
     counts: dict[str, dict[str, int]] = {}
