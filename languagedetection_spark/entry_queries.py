@@ -6132,10 +6132,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap mirrored as QUALIFY, pair-level dedup bounded by the candidate
     set, banded O(len x 3) threshold DP only on surviving candidates."""
     corpus = _editdist_corpus(spark, sf_dir)
+    # four consumers (a/b sides of two blocking passes with DIFFERENT
+    # window keys, so Catalyst can't reuse the exchange): scope-cache the
+    # keyed base once instead of re-scanning + re-planting per branch
     base = corpus.filter(
         "text IS NOT NULL AND length(text) >= 12"
         " AND octet_length(text) = length(text)"
-    ).select("doc_id", "text", F.length("text").alias("ln"))
+    ).select(
+        "doc_id", "text", F.length("text").alias("ln")
+    ).transform(_cached)
 
     def _block_pairs(blocked: DataFrame) -> DataFrame:
         guarded = blocked.withColumn(
@@ -6153,34 +6158,39 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pk").alias("pkb"),  # renamed: both sides share lineage
             F.col("ln").alias("lb"),
         )
-        return a.join(
-            b,
-            (F.col("pk") == F.col("pkb"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= 4),
-        ).select("doc_a", "doc_b", "ta", "tb")
+        return (
+            a.join(
+                b,
+                (F.col("pk") == F.col("pkb"))
+                & (F.col("doc_a") < F.col("doc_b"))
+                & (F.abs(F.col("la") - F.col("lb")) <= 4),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                # threshold form: banded O(len x 3) DP returning -1 above
+                # the cutoff — measured 15.6 s -> sub-second at sf0.1 vs
+                # the full O(len^2) matrix; the kept values are the exact
+                # distances.  Verified INSIDE each blocking pass so the
+                # cross-pass dedup below shuffles only (id, id, int) rows
+                # — texts never leave the join.
+                F.levenshtein("ta", "tb", threshold=3)
+                .cast("long")
+                .alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") >= 0)
+        )
 
     b0 = _block_pairs(base.withColumn("pk", F.substring("text", 1, 12)))
     b1 = _block_pairs(
         base.filter("ln >= 24")
         .withColumn("pk", F.substring("text", 13, 12))
     )
-    # a pair caught by both blocks appears twice with identical texts:
-    # distinct() dedupes exactly (candidate-bounded, never corpus-wide)
-    cand = b0.unionAll(b1).distinct()
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            # threshold form: banded O(len x 3) DP returning -1 above the
-            # cutoff — measured 15.6 s -> sub-second at sf0.1 vs the full
-            # O(len^2) matrix; the kept values are the exact distances
-            F.levenshtein("ta", "tb", threshold=3)
-            .cast("long")
-            .alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") >= 0)
-    )
+    # a pair caught by both blocks appears twice with the same (exact,
+    # deterministic) distance: distinct() dedupes exactly, bounded by the
+    # verified-pair set (never corpus-wide); a dup pair pays the cheap
+    # banded DP at most twice
+    return b0.unionAll(b1).distinct()
 
 
 DEDUP_EDIT_DISTANCE_SQL = """
@@ -6213,20 +6223,18 @@ b1 AS (
     SELECT doc_id, text, ln, substr(text, 13, 12) AS pk FROM base
     WHERE ln >= 24
     QUALIFY count(*) OVER (PARTITION BY pk) <= 256
-),
-cand AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.text AS ta, b.text AS tb
-    FROM b0 a JOIN b0 b
-      ON a.pk = b.pk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
-    UNION
-    SELECT a.doc_id, b.doc_id, a.text, b.text
-    FROM b1 a JOIN b1 b
-      ON a.pk = b.pk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
 )
-SELECT doc_a, doc_b,
-       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
-FROM cand WHERE levenshtein(ta, tb) <= 3
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM b0 a JOIN b0 b
+  ON a.pk = b.pk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
+WHERE levenshtein(a.text, b.text) <= 3
+UNION
+SELECT a.doc_id, b.doc_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM b1 a JOIN b1 b
+  ON a.pk = b.pk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
+WHERE levenshtein(a.text, b.text) <= 3
 """
 
 
