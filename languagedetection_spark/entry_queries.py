@@ -4522,7 +4522,13 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the canonical enrich-on-ingest shape; the dim is re-broadcast per
     batch, state-free), then aggregates per (segment, event_type) in
     complete mode.  Emitted result must equal the batch join+GROUP BY,
-    which is the oracle."""
+    which is the oracle.
+
+    Scale note: the broadcast HINT is right while the (projected,
+    two-column) dimension fits the executor budget — the standard
+    enrich-on-ingest deployment.  If the dim outgrows that (a ~100M-row
+    customer table), drop the hint: Spark falls back to a shuffled
+    stream-static hash join per micro-batch, correct at any dim size."""
     import os
     import tempfile
 

@@ -467,4 +467,6 @@ def test_r4_batch5_query_plans(spark):
     # plans the intermediate ORDER BY + LIMIT as TakeOrderedAndProject:
     # per-partition top-K, so only K rows per task reach the merge and
     # the BroadcastExchange input is K rows by construction.
-    assert "TakeOrderedAndProject(limit=256" in plan, plan
+    from languagedetection_spark.entry_queries import KNN_EVAL_K
+
+    assert f"TakeOrderedAndProject(limit={KNN_EVAL_K}" in plan, plan
