@@ -5,8 +5,11 @@ at production scale these are Iceberg partitions), processes each bucket
 independently, and records one row per completed bucket in a ``_progress``
 Parquet table:
 
-    run_id, bucket, status, n_rows, n_kept, model_fingerprint, input_path,
-    finished_at
+    run_id, bucket, status, n_rows, n_kept, mean_lang_conf, n_no_lang,
+    drop_reasons, model_fingerprint, input_path, finished_at
+
+(the detector-confidence fields appear when the processed output carries
+the quality-filter columns; a generic ``process`` gets counts only)
 
 A re-run with the same checkpoint dir skips completed buckets (idempotent
 resume after failure); each bucket's output is written to its own
@@ -70,6 +73,46 @@ def record_done(checkpoint_dir: str, run_id: str, bucket: int,
     os.replace(tmp, final)
 
 
+def _bucket_metrics(spark: SparkSession, dest: str) -> dict:
+    """One aggregate pass over a just-written bucket: row/keep counts plus
+    the detector-confidence metrics the north_rule asks for (mean winner
+    confidence, abstention count, drop-reason histogram).  Columns are
+    optional — a non-filter ``process`` (e.g. the resume unit test's
+    length flag) still gets n_rows/n_kept; the real quality_filter output
+    gets the full set.  The drop-reason histogram is bounded by the
+    reason enum, so the extra groupBy collects O(|reasons|) rows."""
+    written = spark.read.parquet(dest)
+    cols = set(written.columns)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if "keep" in cols:
+        aggs.append(
+            F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0))
+            .alias("n_kept")
+        )
+    if "lang_conf" in cols:
+        # avg ignores NULLs (abstained turns); 6 dp keeps the JSON stable
+        aggs.append(F.round(F.avg("lang_conf"), 6).alias("mean_lang_conf"))
+    if "lang" in cols:
+        aggs.append(
+            F.coalesce(F.sum(F.col("lang").isNull().cast("long")), F.lit(0))
+            .alias("n_no_lang")
+        )
+    stats = written.agg(*aggs).collect()[0].asDict()
+    metrics = {"n_rows": stats["n_rows"], "n_kept": stats.get("n_kept")}
+    if "lang_conf" in cols:
+        metrics["mean_lang_conf"] = stats["mean_lang_conf"]
+    if "lang" in cols:
+        metrics["n_no_lang"] = stats["n_no_lang"]
+    if "drop_reason" in cols:
+        metrics["drop_reasons"] = {
+            r["drop_reason"]: r["n"]
+            for r in written.filter("drop_reason IS NOT NULL")
+            .groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    return metrics
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     df: DataFrame,
@@ -98,15 +141,10 @@ def run_with_checkpoint(
         out = process(part)
         dest = os.path.join(output_dir, f"bucket={b}")
         out.write.mode("overwrite").parquet(dest)
-        n_rows = spark.read.parquet(dest).count()
-        n_kept = (
-            spark.read.parquet(dest).filter("keep").count()
-            if "keep" in out.columns else None
-        )
         record_done(
             checkpoint_dir, run_id, b,
-            {"n_rows": n_rows, "n_kept": n_kept,
-             "output": dest, **(extra_lineage or {})},
+            {**_bucket_metrics(spark, dest), "output": dest,
+             **(extra_lineage or {})},
         )
         processed.append(b)
     return processed

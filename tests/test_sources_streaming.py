@@ -519,6 +519,21 @@ def test_filter_job_dedup_exact_stage(spark, tmp_path):
     kept = {r[2]: (r[0], r[1]) for r in res}
     # deterministic keeper: minimal (conv_id, turn_idx) per text
     assert kept["hello world this is a decent length turn"] == ("c1", 0)
+    # north_rule lineage + detector-confidence metrics: every completed
+    # bucket's _progress row carries counts, mean winner confidence,
+    # abstention count, and a drop-reason histogram that exactly accounts
+    # for the dropped rows
+    import glob
+    prog = [
+        json.loads(open(p).read())
+        for p in sorted(glob.glob(str(tmp_path / "ckpt/_progress/*.json")))
+    ]
+    assert prog and sum(r["n_rows"] for r in prog) == 3
+    for r in prog:
+        assert {"mean_lang_conf", "n_no_lang", "drop_reasons",
+                "model_fingerprint"} <= set(r)
+        assert r["n_kept"] <= r["n_rows"]
+        assert sum(r["drop_reasons"].values()) == r["n_rows"] - r["n_kept"]
 
 
 def test_filter_job_rejects_dedup_with_streaming(tmp_path):
