@@ -77,6 +77,16 @@ def main(argv: list[str] | None = None) -> int:
                         "'md5' (oracle-portable Arrow kernel, default) or "
                         "'xxhash64' (JVM-native, Python-worker-free; "
                         "same verify contract, different LSH randomness)")
+    p.add_argument("--bucketed-table", default=None,
+                   help="after all buckets complete, additionally compact "
+                        "the KEPT turns into a bucketed + per-bucket-"
+                        "sorted catalog table (bucketBy conv_id, sortBy "
+                        "conv_id, turn_idx) so every downstream conv-"
+                        "level join/agg scans shuffle-free "
+                        "(sources/sinks.py); batch mode only")
+    p.add_argument("--warehouse-dir", default=None,
+                   help="spark.sql.warehouse.dir for --bucketed-table "
+                        "(default: Spark's default warehouse)")
     p.add_argument("--streaming", action="store_true",
                    help="consume --input as a file stream (availableNow "
                         "trigger): parquet sink + streaming checkpoint "
@@ -103,7 +113,13 @@ def main(argv: list[str] | None = None) -> int:
     from ..sources.checkpoint import model_fingerprint, run_with_checkpoint
     from ..sources.readers import read_transcripts
 
-    spark = get_spark(master=args.master, app_name="ld-filter-job")
+    spark = get_spark(
+        master=args.master, app_name="ld-filter-job",
+        extra_conf=(
+            {"spark.sql.warehouse.dir": args.warehouse_dir}
+            if args.warehouse_dir else None
+        ),
+    )
     import os
 
     if args.model_artifact and os.path.exists(args.model_artifact):
@@ -122,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.streaming and args.dedup:
         p.error("--dedup is a batch stage; streaming mode dedups via "
                 "stateful dropDuplicates (see streaming_dedup)")
+    if args.streaming and args.bucketed_table:
+        p.error("--bucketed-table is a batch compaction stage; for a "
+                "stream, run it as a separate batch job over the sink")
 
     if args.streaming:
         from ..streaming.pipeline import (
@@ -197,6 +216,22 @@ def main(argv: list[str] | None = None) -> int:
            "model_fingerprint": fp}
     if n_convs is not None:
         out["conv_report_rows"] = n_convs
+    if args.bucketed_table:
+        import glob as _glob
+
+        from ..operators.quality_filter import kept_turns
+        from ..sources.sinks import write_bucketed
+
+        if _glob.glob(f"{args.output}/bucket=*"):
+            decided = spark.read.parquet(f"{args.output}/bucket=*")
+            write_bucketed(
+                kept_turns(decided), args.bucketed_table,
+                n_buckets=args.buckets,
+            )
+            out["bucketed_table"] = args.bucketed_table
+        else:
+            print(f"bucketed-table skipped: no completed buckets under "
+                  f"{args.output}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -505,11 +505,20 @@ def test_filter_job_dedup_exact_stage(spark, tmp_path):
         [sys.executable, "-m", "languagedetection_spark.jobs.filter_job",
          "--input", inp, "--output", str(tmp_path / "out"),
          "--checkpoint", str(tmp_path / "ckpt"), "--dedup", "exact",
-         "--buckets", "4"],
+         "--buckets", "4",
+         "--bucketed-table", "kept_compacted",
+         "--warehouse-dir", str(tmp_path / "wh")],
         capture_output=True, text=True,
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr[-2000:]
+    # the final compaction stage ran and landed a bucketed table of the
+    # kept turns in the job's warehouse (plan-level shuffle-elimination
+    # pins live in tests/test_sinks.py)
+    job_out = json.loads(out.stdout.strip().splitlines()[-1])
+    assert job_out["bucketed_table"] == "kept_compacted"
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "wh" / "kept_compacted" / "*"))
     res = duckdb.execute(
         f"SELECT conv_id, turn_idx, text FROM "
         f"'{tmp_path}/out/bucket=*/*.parquet' ORDER BY text, conv_id"
