@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "grouping_sets_revenue",
     "label_knn_agreement",
     "lsh_band_sweep",
+    # new in r5 (outside all frozen like-for-like cohorts)
+    "conv_export",
 ]  # streaming_* excluded: streaming-query startup dominates
 
 # r2 regression triage (VERDICT r2 "what's wrong" #1): classify_* moved

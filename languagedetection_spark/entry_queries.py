@@ -3784,6 +3784,68 @@ FROM agg a JOIN top t ON a.source = t.source
 """
 
 
+def conv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export: the pipeline's FINAL stage — kept turns
+    reassembled into one ordered document per conversation (source =
+    conv key, doc_id = turn order), the exact artifact a pretraining
+    ingest consumes downstream of the quality filter.  Composes on the
+    full pipeline_keep decision cascade (the established composition
+    pattern — conv_quality_report does the same), so the export's kept
+    set is the real filter's, not a stand-in rule.
+
+    Deterministic by construction: turn order is doc_id (unique), so
+    array_sort(collect_list(struct(doc_id, text))) and DuckDB's
+    string_agg(... ORDER BY doc_id) agree exactly; no floats anywhere.
+
+    Scale shape: ONE conv-keyed hash aggregate over the kept rows;
+    collect_list partially aggregates (ObjectHashAggregate), so a
+    conversation's turns combine map-side before the shuffle.  Output
+    row size is bounded by the longest conversation — the known property
+    of any reassembly; a pathological conv would be capped upstream with
+    the doc_chunks windowing, and the salted-repartition lever
+    (CLAUDE.md: salt conv-level aggregates) applies here, not to the
+    map-only scoring path.  In production this export is what
+    `filter_job --bucketed-table` feeds: the bucketed layout makes this
+    very groupBy shuffle-free (tests/test_sinks.py)."""
+    d = _t(spark, sf_dir, "documents")
+    kept = (
+        pipeline_keep(spark, sf_dir)
+        .filter("keep")
+        .select("doc_id")
+        .join(d, "doc_id")
+        .select("source", "doc_id", "text")
+    )
+    return (
+        kept.groupBy(F.col("source").alias("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns_kept"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("document"),
+        )
+    )
+
+
+CONV_EXPORT_SQL = f"""
+WITH decisions AS ({PIPELINE_KEEP_SQL})
+, kept AS (
+    SELECT d.source AS conv_id, d.doc_id, d.text
+    FROM documents d JOIN decisions k ON k.doc_id = d.doc_id
+    WHERE k.keep
+)
+SELECT conv_id,
+       count(*) AS n_turns_kept,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       string_agg(text, chr(10) ORDER BY doc_id) AS document
+FROM kept GROUP BY conv_id
+"""
+
+
 def word_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-21 (TestResult.scala:69-103): the stacked-bar prefix scan -- per
     document, the running sum of word scores in word-position order
@@ -6649,6 +6711,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": sequence_packing,
     "embedding_kmeans": embedding_kmeans,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    # --- new in r5 (needs first-round driver evidence): the export stage;
+    #     displaces source_pagerank (r3-green, lowest-risk of the stale
+    #     tail) to position 51 ---
+    "conv_export": conv_export,
     # --- the 25 r2-era rotations (complete) ---
     "bpe_token_count": bpe_token_count,
     "langid_heuristic": langid_heuristic,
@@ -6695,10 +6761,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigram_ppl": lm_bigram_ppl,
     "bm25_topk": bm25_topk,
     "heavy_hitters": heavy_hitters,
-    "source_pagerank": source_pagerank,
-    # --- outside the window: 15 low-risk r3-green entries (relational/
+    # --- outside the window (position 51+): source_pagerank stays
+    #     r3-green, displaced by conv_export; then 15 low-risk r3-green
+    #     entries (relational/
     #     text kernels, untouched) then the 45 r4-green entries; all
     #     remain covered by the repo's parametrized oracle tests ---
+    "source_pagerank": source_pagerank,
     "range_join_tiers": range_join_tiers,
     "percentile_stats": percentile_stats,
     "ntile_value_quartiles": ntile_value_quartiles,
@@ -6823,6 +6891,7 @@ ORACLE_SQL: dict[str, str] = {
     "langid_fasttext": LANGID_FASTTEXT_SQL,
     "pipeline_keep": PIPELINE_KEEP_SQL,
     "conv_quality_report": CONV_QUALITY_SQL,
+    "conv_export": CONV_EXPORT_SQL,
     "word_cumsum": WORD_CUMSUM_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_sq_topk": ANN_SQ_SQL,

@@ -87,7 +87,7 @@ EDGE_SAFE_QUERIES = (
     "classify_relational", "classify_vectorized", "accuracy_metrics",
     "confusion_matrix", "pipeline_scrub", "doc_fingerprint",
     "langid_hashed_ngram", "langid_heuristic", "pipeline_keep",
-    "conv_quality_report", "word_cumsum", "doc_token_stats",
+    "conv_quality_report", "conv_export", "word_cumsum", "doc_token_stats",
     "doc_quality_score", "bpe_token_count", "holdout_split", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_components", "decontaminate", "bloom_decontaminate", "bpe_merges",
