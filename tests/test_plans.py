@@ -470,3 +470,16 @@ def test_r4_batch5_query_plans(spark):
     from languagedetection_spark.entry_queries import KNN_EVAL_K
 
     assert f"TakeOrderedAndProject(limit={KNN_EVAL_K}" in plan, plan
+
+
+def test_conv_export_plan(spark):
+    """conv_export (r5): the reassembly must add exactly one new shuffle —
+    the conv-keyed aggregate — with collect_list combining MAP-SIDE
+    (partial ObjectHashAggregate), and the kept-decision set must join
+    back to documents by broadcast, never a doc x doc SMJ at the top."""
+    from languagedetection_spark.entry_queries import conv_export
+
+    plan = _plan(conv_export(spark, SF))
+    assert "partial_collect_list" in plan, plan
+    # top-level aggregate keyed on the conv column, not a global sort
+    assert "SinglePartition" not in plan.split("SortMergeJoin")[0], plan
