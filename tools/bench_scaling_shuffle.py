@@ -96,15 +96,24 @@ def main() -> None:
     result: dict = {"external_load": load, "n": n}
     for job in ("minhash", "inverted", "segment"):
         best: dict[int, float] = {}
+        pair_effs: list[float] = []
         for _ in range(2):  # interleaved pairs
+            pair: dict[int, float] = {}
             for cpus in (n, n * 4):
                 r = run_at(cpus, job)
+                pair[cpus] = r["sec"]
                 if cpus not in best or r["sec"] < best[cpus]:
                     best[cpus] = r["sec"]
+            # within-pair ratio: holds the co-tenant window (nearly)
+            # constant; cross-pair best-per-level can couple a lucky N
+            # window with an unlucky 4N one and distort either direction
+            pair_effs.append(round(pair[n] / (4 * pair[n * 4]), 3))
         eff = best[n] / (4 * best[n * 4])
         result[job] = {f"local{n}_sec": best[n],
                        f"local{n * 4}_sec": best[n * 4],
-                       "efficiency": round(eff, 3)}
+                       "efficiency": round(eff, 3),
+                       "pair_efficiencies": pair_effs,
+                       "best_pair_efficiency": max(pair_effs)}
     print(json.dumps(result))
 
 
