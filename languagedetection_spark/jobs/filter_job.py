@@ -107,11 +107,32 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"--conv-report ({args.conv_report}) must not be "
                     f"nested under --output ({args.output})")
 
+    # mode-combination errors BEFORE any JVM spins up
+    if args.streaming and args.dedup:
+        p.error("--dedup is a batch stage; streaming mode dedups via "
+                "stateful dropDuplicates (see streaming_dedup)")
+    if args.streaming and args.bucketed_table:
+        p.error("--bucketed-table is a batch compaction stage; for a "
+                "stream, run it as a separate batch job over the sink")
+
+    from pyspark.sql import SparkSession
+
     from ..functions.udfs import broadcast_model
     from ..operators.quality_filter import quality_filter
     from ..plans.session import get_spark
     from ..sources.checkpoint import model_fingerprint, run_with_checkpoint
     from ..sources.readers import read_transcripts
+
+    if args.warehouse_dir:
+        # getOrCreate() silently ignores builder conf when a session
+        # already exists in this process -- the bucketed table would land
+        # in the WRONG warehouse while the job output claims success
+        active = SparkSession.getActiveSession()
+        if active is not None and active.conf.get(
+                "spark.sql.warehouse.dir") != args.warehouse_dir:
+            p.error("--warehouse-dir requires a fresh process: an active "
+                    "SparkSession already pins spark.sql.warehouse.dir to "
+                    f"{active.conf.get('spark.sql.warehouse.dir')}")
 
     spark = get_spark(
         master=args.master, app_name="ld-filter-job",
@@ -134,13 +155,6 @@ def main(argv: list[str] | None = None) -> int:
             save_model(model, args.model_artifact)
     fp = model_fingerprint(model)
     bc = broadcast_model(spark, model)
-
-    if args.streaming and args.dedup:
-        p.error("--dedup is a batch stage; streaming mode dedups via "
-                "stateful dropDuplicates (see streaming_dedup)")
-    if args.streaming and args.bucketed_table:
-        p.error("--bucketed-table is a batch compaction stage; for a "
-                "stream, run it as a separate batch job over the sink")
 
     if args.streaming:
         from ..streaming.pipeline import (
@@ -194,18 +208,21 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         extra_lineage={"model_fingerprint": fp, "input_path": args.input},
     )
+    # THIS run's bucket dirs only (0..buckets-1), not a bare bucket=* glob:
+    # a previous run on the same --output with a LARGER --buckets count
+    # leaves stale bucket dirs beyond this run's range, and globbing them
+    # in would duplicate every turn they hold (each turn is also in this
+    # run's rewritten buckets).  Completed == all of this run's dirs exist.
+    this_run_dirs = [
+        d for b in range(args.buckets)
+        if os.path.isdir(d := os.path.join(args.output, f"bucket={b}"))
+    ]
     n_convs = None
     if args.conv_report:
-        import glob as _glob
-
         from ..operators.quality_filter import conv_report
 
-        # glob the actual bucket layout, NOT the whole output dir -- a bare
-        # {output}/* would ingest any sidecar written under it (e.g. a past
-        # --conv-report target) and corrupt the rollup
-        bucket_dirs = sorted(_glob.glob(f"{args.output}/bucket=*"))
-        if bucket_dirs:
-            decided = spark.read.parquet(f"{args.output}/bucket=*")
+        if this_run_dirs:
+            decided = spark.read.parquet(*this_run_dirs)
             report = conv_report(decided)
             report.write.parquet(args.conv_report, mode="overwrite")
             n_convs = spark.read.parquet(args.conv_report).count()
@@ -217,13 +234,11 @@ def main(argv: list[str] | None = None) -> int:
     if n_convs is not None:
         out["conv_report_rows"] = n_convs
     if args.bucketed_table:
-        import glob as _glob
-
         from ..operators.quality_filter import kept_turns
         from ..sources.sinks import write_bucketed
 
-        if _glob.glob(f"{args.output}/bucket=*"):
-            decided = spark.read.parquet(f"{args.output}/bucket=*")
+        if this_run_dirs:
+            decided = spark.read.parquet(*this_run_dirs)
             write_bucketed(
                 kept_turns(decided), args.bucketed_table,
                 n_buckets=args.buckets,

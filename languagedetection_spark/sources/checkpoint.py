@@ -3,7 +3,7 @@
 The job splits its input into logical partitions (hash buckets of conv_id --
 at production scale these are Iceberg partitions), processes each bucket
 independently, and records one row per completed bucket in a ``_progress``
-Parquet table:
+JSON-lines table (one atomically-renamed file per bucket):
 
     run_id, bucket, status, n_rows, n_kept, mean_lang_conf, n_no_lang,
     drop_reasons, model_fingerprint, input_path, finished_at

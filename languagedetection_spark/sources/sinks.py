@@ -26,7 +26,11 @@ Two write-path notes that matter at scale:
   multi-TB buckets, raise ``files_per_bucket`` to split each bucket
   across k files (hashing on a salt WITHIN the bucket keeps bucket
   membership intact — Spark only requires that every file in a bucket
-  hash-belongs to it).
+  hash-belongs to it).  Trade-off: Spark trusts the persisted sortBy
+  metadata only when a bucket is ONE file, so with k > 1 the layout
+  stays shuffle-free but downstream sort consumers re-sort (each file
+  is still internally sorted; the Exchange, the expensive part, is
+  still eliminated — pinned in the split test).
 - **Catalog, not path.**  Bucketing metadata lives in the table catalog
   (``saveAsTable``); a bare ``.parquet(path)`` write silently drops it.
   On a cluster this is the Hive/Iceberg metastore; locally it's the

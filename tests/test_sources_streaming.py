@@ -488,6 +488,14 @@ def test_filter_job_dedup_exact_stage(spark, tmp_path):
         ("c3", 0, "user", "hello world this is a decent length turn", None),
         ("c3", 1, "user", "unique text that appears exactly once okay",
          None),
+        # three in-domain turns (drawn from the seed-42 fixture corpus) the
+        # filter KEEPS, so the --bucketed-table export is non-empty and the
+        # stale-bucket duplication check below has rows to catch
+        ("c4", 0, "user", "pfaxurdv hlbk toocjg nrrvyg drtgbim hmxtjcfu "
+         "mkmyrry blmxo vlntblubv hxlalwxhx", None),
+        ("c4", 1, "asst", "kjs fllcekh hmxtjcfu pbsiuwbie", None),
+        ("c5", 0, "user", "ausrl yklpdmnhf wofb eyeokv wrd rvmqlvu rtm "
+         "dmhrqdnq rtm gspmuoh", None),
     ]
     import datetime as dt
     ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -517,14 +525,14 @@ def test_filter_job_dedup_exact_stage(spark, tmp_path):
     # pins live in tests/test_sinks.py)
     job_out = json.loads(out.stdout.strip().splitlines()[-1])
     assert job_out["bucketed_table"] == "kept_compacted"
-    import glob as _glob
-    assert _glob.glob(str(tmp_path / "wh" / "kept_compacted" / "*"))
+    import glob
+    assert glob.glob(str(tmp_path / "wh" / "kept_compacted" / "*"))
     res = duckdb.execute(
         f"SELECT conv_id, turn_idx, text FROM "
         f"'{tmp_path}/out/bucket=*/*.parquet' ORDER BY text, conv_id"
     ).fetchall()
     texts = [r[2] for r in res]
-    assert len(texts) == len(set(texts)) == 3
+    assert len(texts) == len(set(texts)) == 6
     kept = {r[2]: (r[0], r[1]) for r in res}
     # deterministic keeper: minimal (conv_id, turn_idx) per text
     assert kept["hello world this is a decent length turn"] == ("c1", 0)
@@ -532,17 +540,39 @@ def test_filter_job_dedup_exact_stage(spark, tmp_path):
     # bucket's _progress row carries counts, mean winner confidence,
     # abstention count, and a drop-reason histogram that exactly accounts
     # for the dropped rows
-    import glob
     prog = [
         json.loads(open(p).read())
         for p in sorted(glob.glob(str(tmp_path / "ckpt/_progress/*.json")))
     ]
-    assert prog and sum(r["n_rows"] for r in prog) == 3
+    assert prog and sum(r["n_rows"] for r in prog) == 6
     for r in prog:
         assert {"mean_lang_conf", "n_no_lang", "drop_reasons",
                 "model_fingerprint"} <= set(r)
         assert r["n_kept"] <= r["n_rows"]
         assert sum(r["drop_reasons"].values()) == r["n_rows"] - r["n_kept"]
+    # rerun on the SAME --output with FEWER buckets: run 1's bucket=2,3
+    # dirs are now stale and hold copies of rows that run 2 rewrites into
+    # bucket=0,1 -- the compaction (and conv-report) must read only THIS
+    # run's bucket range or every such row exports twice
+    out2 = subprocess.run(
+        [sys.executable, "-m", "languagedetection_spark.jobs.filter_job",
+         "--input", inp, "--output", str(tmp_path / "out"),
+         "--checkpoint", str(tmp_path / "ckpt"), "--dedup", "exact",
+         "--buckets", "2", "--run-id", "r2",
+         "--bucketed-table", "kept_compacted2",
+         "--warehouse-dir", str(tmp_path / "wh")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    n_all, n_distinct = duckdb.execute(
+        f"SELECT count(*), count(DISTINCT conv_id || '|' || turn_idx) "
+        f"FROM '{tmp_path}/wh/kept_compacted2/*.parquet'"
+    ).fetchone()
+    assert n_all == n_distinct, "stale buckets duplicated exported turns"
+    n_run1 = duckdb.execute(
+        f"SELECT count(*) FROM '{tmp_path}/wh/kept_compacted/*.parquet'"
+    ).fetchone()[0]
+    assert n_all == n_run1 > 0  # same input + model => same NON-EMPTY kept set
 
 
 def test_filter_job_rejects_dedup_with_streaming(tmp_path):
